@@ -1,0 +1,8 @@
+"""Repo-level pytest config: make src/ importable without installation."""
+
+import sys
+from pathlib import Path
+
+SRC = str(Path(__file__).parent / "src")
+if SRC not in sys.path:
+    sys.path.insert(0, SRC)

@@ -1,0 +1,104 @@
+"""Per-stage checkpointing with lineage + metrics (resume support).
+
+Plays the role of the reference's content-addressed embedding cache
+(``embedding/cache.py:18-137``, consumed ``core/pipeline.py:50-88``): work
+already materialized under the same config hash is never recomputed. Where
+the reference memoizes per-snippet vectors in SQLite, we checkpoint whole
+stages as parquet keyed by ``(config_hash, stage)`` — the Iceberg-table
+analogue that makes the job resumable mid-pipeline (north_rule), with a
+``_metrics`` sidecar recording per-partition row counts (lineage) and
+wall time per stage.
+
+Layout:
+    {root}/{config_hash}/{stage}/            parquet data
+    {root}/{config_hash}/{stage}.metrics.json
+
+Resume rule: a stage directory with a parquet _SUCCESS marker short-circuits
+recompute (``load_or_compute``). Different config => different hash =>
+different directory, so stale state can never be read (the same guarantee
+as the reference's cache key, ``io/fingerprints.py:10-14``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageMetrics:
+    stage: str
+    rows: int
+    wall_s: float
+    partitions: int
+    partition_rows: dict[str, int]
+    resumed: bool = False
+
+
+@dataclass
+class CheckpointManager:
+    """No-op when root is None (pure in-memory run)."""
+
+    spark: SparkSession
+    config_hash: str
+    root: str | None = None
+    metrics: list[StageMetrics] = field(default_factory=list)
+
+    def _stage_dir(self, stage: str) -> Path | None:
+        if self.root is None:
+            return None
+        return Path(self.root) / self.config_hash / stage
+
+    def has(self, stage: str) -> bool:
+        d = self._stage_dir(stage)
+        return d is not None and (d / "_SUCCESS").exists()
+
+    def load_or_compute(self, stage: str, compute) -> DataFrame:
+        """Return the checkpointed stage if present, else compute, persist,
+        and record per-partition lineage + wall time."""
+        d = self._stage_dir(stage)
+        if d is not None and (d / "_SUCCESS").exists():
+            df = self.spark.read.parquet(str(d))
+            self.metrics.append(
+                StageMetrics(stage, df.count(), 0.0, df.rdd.getNumPartitions(), {}, resumed=True)
+            )
+            return df
+        t0 = time.perf_counter()
+        df = compute()
+        if d is None:
+            # in-memory run: stay lazy (no forced count — the caller's
+            # actions drive evaluation); rows unknown until materialized.
+            self.metrics.append(StageMetrics(stage, -1, time.perf_counter() - t0, -1, {}))
+            return df
+        d.parent.mkdir(parents=True, exist_ok=True)
+        df.write.mode("overwrite").parquet(str(d))
+        out = self.spark.read.parquet(str(d))
+        part_rows = {
+            str(r["pid"]): r["n"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        m = StageMetrics(
+            stage,
+            sum(part_rows.values()),
+            time.perf_counter() - t0,
+            len(part_rows),
+            part_rows,
+        )
+        self.metrics.append(m)
+        with open(d.parent / f"{stage}.metrics.json", "w") as f:
+            json.dump(m.__dict__, f, indent=2)
+        return out
+
+    def write_metrics_table(self) -> None:
+        if self.root is None:
+            return
+        path = Path(self.root) / self.config_hash / "_metrics.json"
+        with open(path, "w") as f:
+            json.dump([m.__dict__ for m in self.metrics], f, indent=2)

@@ -1,0 +1,121 @@
+"""LSH band bucketing -> candidate pair generation, with skew handling.
+
+This replaces the reference's brute-force / FAISS top-k vector retrieval
+(``index/brute_index.py:19-45``, ``index/faiss_index.py:25-62``,
+fan-out loop ``similarity/candidates.py:120-165``): instead of "top-25
+nearest of each snippet", the candidate set is "every pair sharing at
+least one LSH band bucket", which the exact-Jaccard verification stage
+then prunes with the very thresholds the reference applies
+(``candidates.py:149-152``). No O(N^2) anywhere, no index broadcast to
+every worker (the reference rebuilds the full index per process,
+``candidates.py:52-74`` — the non-scalable pattern this design removes).
+
+Skew strategy (SURVEY.md §4, north_rule "salted repartitioning"):
+  1. exact-duplicate pre-collapse happens UPSTREAM (pipeline.collapse) —
+     boilerplate/vendored files hit LSH as ONE representative row each;
+  2. remaining buckets are routed by size: small buckets take a plain
+     self-equi-join; oversized buckets take a *salted* block self-join
+     that splits the quadratic pair-space of one hot key across
+     n_salt*(n_salt+1)/2 independent join keys (and thus tasks);
+  3. buckets beyond ``max_bucket_size`` are dropped with a metric — after
+     exact collapse those are adversarial hash pileups whose pairs are
+     overwhelmingly sub-threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkclone.config import LshConfig
+
+# Buckets up to this size use the plain path; larger (<= max_bucket_size)
+# are salted.
+_SALT_THRESHOLD = 64
+_N_SALT = 8
+
+
+def band_table(sigs: DataFrame, id_col: str = "snippet_id") -> DataFrame:
+    """(id, band_id, band_hash) — one row per band per signature row."""
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
+
+
+def _pairs_plain(bt: DataFrame) -> DataFrame:
+    a = bt.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a"))
+    b = bt.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
+    """Salted self-join: each member gets block s = hash(id) % n_salt.
+    Left side replicates each row to partner blocks p >= s, right side to
+    partner blocks p <= s; the equi-join on (band, block_lo, block_hi)
+    yields every unordered block pair exactly once, spreading one hot
+    bucket across n_salt*(n_salt+1)/2 join keys."""
+    salted = bt.withColumn("s", F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int"))
+    left = salted.select(
+        "band_id",
+        "band_hash",
+        F.col("id").alias("id_a"),
+        F.col("s").alias("b_lo"),
+        F.explode(F.sequence(F.col("s"), F.lit(n_salt - 1))).alias("b_hi"),
+    )
+    right = salted.select(
+        "band_id",
+        "band_hash",
+        F.col("id").alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.col("s"))).alias("b_lo"),
+        F.col("s").alias("b_hi"),
+    )
+    return (
+        left.join(right, ["band_id", "band_hash", "b_lo", "b_hi"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def candidate_pairs(
+    sigs: DataFrame, cfg: LshConfig, id_col: str = "snippet_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate (id_a < id_b) pairs from LSH band buckets.
+
+    Returns (pairs, bucket_stats) where bucket_stats carries one row per
+    routing class (plain / salted / dropped) with bucket + member counts —
+    fed to the `_metrics` sink so silently-dropped hot buckets are visible.
+    """
+    bt = band_table(sigs, id_col)
+    sizes = (
+        bt.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsize"))
+        .where(F.col("bsize") >= 2)
+    )
+    cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
+    routed = bt.join(sizes, ["band_id", "band_hash"])  # drops singleton buckets
+    small = routed.where(F.col("bsize") <= _SALT_THRESHOLD).drop("bsize")
+    big = routed.where((F.col("bsize") > _SALT_THRESHOLD) & (F.col("bsize") <= cap)).drop("bsize")
+
+    pairs = (
+        _pairs_plain(small)
+        .unionByName(_pairs_salted(big))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    bucket_stats = sizes.select(
+        F.when(F.col("bsize") <= _SALT_THRESHOLD, "plain")
+        .when(F.col("bsize") <= cap, "salted")
+        .otherwise("dropped")
+        .alias("route"),
+        "bsize",
+    ).groupBy("route").agg(
+        F.count("*").alias("buckets"),
+        F.sum("bsize").alias("members"),
+        F.max("bsize").alias("max_bucket"),
+    )
+    return pairs, bucket_stats

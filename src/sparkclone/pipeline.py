@@ -1,0 +1,209 @@
+"""End-to-end near-duplicate pipeline (the ``run_pipeline`` analogue).
+
+Stage graph (each stage is a DataFrame transformation; Catalyst plans the
+physical execution — contrast the reference's hard-coded 6-stage loop,
+``core/pipeline.py:91-255``):
+
+    corpus ──extract (mapInPandas, narrow)──> snippets
+    snippets ──tokens/hashes (JVM codegen)──> tokenized
+    tokenized ──exact collapse (1 shuffle on text_hash)──> reps + stars
+    reps ──signatures (pandas UDF, narrow)──> signatures
+    signatures ──LSH bucket join (shuffles on band key)──> candidate pairs
+    pairs + reps ──verify (2 joins + JVM jaccard)──> verified edges
+    verified ∪ stars ──rollup (1 shuffle on unit pair)──> findings
+    findings ──iterative CC──> clusters
+
+Scale notes: the only data-squared risk is pair generation, bounded by
+exact collapse + bucket caps + salting (lsh.py). All other shuffles key on
+high-cardinality hashes (text_hash, band key, unit pair) — uniform by
+construction. AQE handles residual skew; every heavy Python kernel is
+Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkclone.checkpoint import CheckpointManager
+from sparkclone.config import PipelineConfig
+from sparkclone.extract import extract_snippets
+from sparkclone.lsh import candidate_pairs
+from sparkclone.normalize import tokens_col
+from sparkclone.signatures import token_hashes_col, with_signatures
+from sparkclone.verify import attach_sides, verify_pairs, with_lcs_evidence
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read the corpus table (parquet stand-in for the Iceberg table of the
+    input_hint) and stamp the per-row invariant ``content_sha256 =
+    sha2(content, 256)`` — bit-identical to the reference's
+    ``hashlib.sha256(text).hexdigest()`` (io/fingerprints.py:6-7)."""
+    df = spark.read.parquet(path)
+    return df.select(*CORPUS_COLUMNS).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+
+
+def tokenize_snippets(snippets: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Append token set / token hashes / text hash columns (all JVM-side)
+    and drop rows that can never match: empty token sets score Jaccard 0.0
+    in the reference (lexical.py:9-10) and pathologically long texts are
+    dropped defensively with a metric (reference has no cap; windows are
+    <= window_lines lines so only machine-generated whole-function blobs
+    hit this)."""
+    return (
+        snippets.withColumn("tokens", tokens_col(F.col("norm_text")))
+        .withColumn("text_hash", F.sha2("norm_text", 256))
+        .where(
+            (F.size("tokens") > 0)
+            & (F.length("norm_text") <= F.lit(cfg.lsh.max_text_chars))
+        )
+        .withColumn("token_hashes", token_hashes_col(F.col("tokens")))
+    )
+
+
+def collapse_exact(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse (SURVEY.md §4 mitigation (c), mirroring
+    StubEmbedder semantics — identical normalized text <=> cosine 1.0,
+    ``embedding/stub_embedder.py:19-27``).
+
+    Returns (reps, star_edges):
+      reps — one representative snippet per distinct ``text_hash``
+      (min snippet_id, deterministic);
+      star_edges — (rep, member) snippet pairs with jaccard 1.0 connecting
+      every collapsed member to its representative. O(n) edges per
+      duplicate family instead of O(n^2) pairs: connected components then
+      implies the full pairwise clique, which is what the cluster-pair
+      acceptance metric consumes.
+    """
+    w = Window.partitionBy("text_hash")
+    with_rep = tokenized.withColumn("rep_id", F.min("snippet_id").over(w))
+    reps = with_rep.where(F.col("snippet_id") == F.col("rep_id")).drop("rep_id")
+
+    members = with_rep.where(F.col("snippet_id") != F.col("rep_id"))
+    rep_side = reps.select(
+        F.col("text_hash"),
+        F.col("snippet_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in [
+            "unit_id", "path", "unit_start", "unit_end", "kind",
+            "start_line", "end_line",
+        ]],
+        F.length("norm_text").alias("__text_len"),
+    )
+    member_side = members.select(
+        F.col("text_hash"),
+        F.col("snippet_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in [
+            "unit_id", "path", "unit_start", "unit_end", "kind",
+            "start_line", "end_line",
+        ]],
+    )
+    star_edges = rep_side.join(member_side, "text_hash").select(
+        "id_a", "id_b",
+        *[f"{c}_a" for c in ["unit_id", "path", "unit_start", "unit_end", "kind", "start_line", "end_line"]],
+        *[f"{c}_b" for c in ["unit_id", "path", "unit_start", "unit_end", "kind", "start_line", "end_line"]],
+        F.lit(1.0).alias("jaccard"),
+        F.lit(0).alias("hamming"),
+        F.col("__text_len").cast("int").alias("lcs_chars"),
+        F.lit(True).alias("near_verbatim"),
+    )
+    return reps, star_edges
+
+
+_EDGE_COLS = [
+    "id_a", "id_b",
+    "unit_id_a", "path_a", "unit_start_a", "unit_end_a", "kind_a", "start_line_a", "end_line_a",
+    "unit_id_b", "path_b", "unit_start_b", "unit_end_b", "kind_b", "start_line_b", "end_line_b",
+    "jaccard", "hamming", "lcs_chars", "near_verbatim",
+]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: PipelineConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns every stage as a DataFrame.
+
+    With ``checkpoint_dir`` set, each stage is persisted under
+    ``{dir}/{config_hash}/{stage}`` and a rerun resumes from the last
+    completed stage (kill/resume test in tests/test_resume.py).
+    """
+    from sparkclone.cluster import (
+        attach_clusters,
+        cluster_sizes,
+        connected_components,
+        filter_clusters,
+    )
+    from sparkclone.rollup import rollup_findings
+
+    from sparkclone.runtime import ensure_shipped
+
+    ensure_shipped(spark)
+    cfg = cfg or PipelineConfig()
+    ck = CheckpointManager(spark, cfg.config_hash(), checkpoint_dir)
+
+    snippets = ck.load_or_compute(
+        "snippets", lambda: tokenize_snippets(extract_snippets(corpus, cfg.windows), cfg)
+    )
+    reps, star_edges = collapse_exact(snippets)
+    signatures = ck.load_or_compute("signatures", lambda: with_signatures(reps, cfg.signature))
+
+    def _pairs() -> DataFrame:
+        p, _stats = candidate_pairs(signatures, cfg.lsh)
+        return p
+
+    pairs = ck.load_or_compute("candidate_pairs", _pairs)
+    _, bucket_stats = candidate_pairs(signatures, cfg.lsh)
+
+    def _verified() -> DataFrame:
+        v = verify_pairs(attach_sides(pairs, signatures), cfg)
+        v = with_lcs_evidence(v, cfg)
+        return v.select(*_EDGE_COLS)
+
+    verified = ck.load_or_compute("verified", _verified)
+    edges = verified.unionByName(star_edges.select(*_EDGE_COLS))
+
+    findings = ck.load_or_compute(
+        "findings", lambda: rollup_findings(edges, cfg.thresholds)
+    )
+    membership = ck.load_or_compute(
+        "clusters", lambda: connected_components(findings, cfg.cluster)
+    )
+    findings_clustered = filter_clusters(
+        attach_clusters(findings, membership), cfg.cluster.min_size
+    )
+    ck.write_metrics_table()
+
+    return {
+        "snippets": snippets,
+        "signatures": signatures,
+        "candidate_pairs": pairs,
+        "bucket_stats": bucket_stats,
+        "star_edges": star_edges,
+        "verified": verified,
+        "findings": findings,
+        "clusters": membership,
+        "cluster_sizes": cluster_sizes(membership),
+        "findings_clustered": findings_clustered,
+        "metrics": ck,
+    }
+
+
+def cluster_pairs(membership: DataFrame) -> DataFrame:
+    """All unordered unit pairs implied by cluster membership — the
+    quantity the dup-pair recall metric compares (SURVEY.md §6). Pure SQL:
+    a within-cluster self-join."""
+    m = membership.select("cluster_id", F.col("unit_id"))
+    a = m.select("cluster_id", F.col("unit_id").alias("ua"))
+    b = m.select("cluster_id", F.col("unit_id").alias("ub"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("ua") < F.col("ub"))
+        .select("cluster_id", "ua", "ub")
+    )

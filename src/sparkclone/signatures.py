@@ -1,0 +1,158 @@
+"""Batched MinHash + SimHash signatures and LSH band hashes.
+
+Replaces the reference's transformer-embedding retrieval
+(``embedding/codebert_embedder.py``, ``index/brute_index.py``) with
+sketches whose estimates converge to the exact token-set Jaccard the
+reference's lexical score computes (``similarity/lexical.py:6-19``) —
+so at oracle config (lexical_weight=1.0) our candidate generation targets
+the *same* quantity the reference thresholds on.
+
+Dataflow: token hashing happens JVM-side (``xxhash64`` inside a
+higher-order ``transform`` — stays in whole-stage codegen); the numpy
+kernel runs once per Arrow batch inside a pandas UDF and is fully
+vectorized across the batch via ``np.minimum.reduceat`` /
+``np.add.reduceat`` over the concatenated token-hash buffer (no per-row
+Python loops over tokens).
+
+At 100 TB scale this stage is embarrassingly parallel (narrow, per-row),
+so it scales with input partitions; Arrow batch size bounds memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from sparkclone.config import SignatureConfig
+
+_MERSENNE_61 = np.uint64((1 << 61) - 1)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+# Token-count chunking bound for the reduceat kernel: 64 MiB of minhash
+# intermediate per chunk at 128 perms (tokens * perms * 8 bytes).
+_CHUNK_TOKENS = 65_536
+
+SIG_FIELDS = StructType(
+    [
+        StructField("minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
+
+def _perm_params(cfg: SignatureConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-add permutation parameters seeded from
+    config. Odd multipliers over Z/2^64 (multiply-shift universal hashing:
+    adequate pairwise independence for MinHash in practice)."""
+    rng = np.random.default_rng(cfg.seed)
+    a = rng.integers(1, 1 << 63, size=cfg.num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=cfg.num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_matrix(token_hashes: np.ndarray, offsets: np.ndarray, cfg: SignatureConfig) -> np.ndarray:
+    """MinHash signatures for a batch.
+
+    token_hashes: concatenated uint64 token hashes of all rows.
+    offsets: int64 array of row start indices (len = n_rows), rows are
+    [offsets[i], offsets[i+1]) with an implicit end at len(token_hashes).
+    Empty rows are not allowed (filter upstream).
+    Returns (n_rows, num_perms) uint64.
+    """
+    a, b = _perm_params(cfg)
+    n_rows = len(offsets)
+    out = np.empty((n_rows, cfg.num_perms), dtype=np.uint64)
+    bounds = np.append(offsets, len(token_hashes))
+    # chunk by whole rows so reduceat groups stay intact
+    row = 0
+    while row < n_rows:
+        end_row = row + 1
+        while end_row < n_rows and bounds[end_row + 1] - bounds[row] <= _CHUNK_TOKENS:
+            end_row += 1
+        h = token_hashes[bounds[row] : bounds[end_row]]
+        # (T, P): permuted hashes, uint64 wraparound is mod 2^64
+        permuted = h[:, None] * a[None, :] + b[None, :]
+        local_off = (bounds[row:end_row] - bounds[row]).astype(np.int64)
+        out[row:end_row] = np.minimum.reduceat(permuted, local_off, axis=0)
+        row = end_row
+    return out
+
+
+def simhash_vector(token_hashes: np.ndarray, offsets: np.ndarray, bits: int = 64) -> np.ndarray:
+    """64-bit SimHash per row: majority vote per bit position over the
+    row's (unweighted, distinct) token hashes. Ties -> bit clear.
+    Returns (n_rows,) uint64."""
+    n_rows = len(offsets)
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    bounds = np.append(offsets, len(token_hashes))
+    row = 0
+    while row < n_rows:
+        end_row = row + 1
+        while end_row < n_rows and bounds[end_row + 1] - bounds[row] <= _CHUNK_TOKENS:
+            end_row += 1
+        h = token_hashes[bounds[row] : bounds[end_row]]
+        bitmat = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        local_off = (bounds[row:end_row] - bounds[row]).astype(np.int64)
+        counts = np.add.reduceat(bitmat, local_off, axis=0)  # (rows, bits)
+        n_tok = np.diff(np.append(local_off, len(h)))[:, None]
+        majority = (counts * 2 > n_tok).astype(np.uint64)
+        out[row:end_row] = (majority << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        row = end_row
+    return out
+
+
+def band_hashes(minhash: np.ndarray, cfg: SignatureConfig) -> np.ndarray:
+    """Fold each band's r minhash values into one 64-bit bucket key via an
+    FNV-style mix. minhash: (n, num_perms) uint64 -> (n, bands) uint64."""
+    n = minhash.shape[0]
+    grouped = minhash.reshape(n, cfg.bands, cfg.rows_per_band)
+    acc = np.full((n, cfg.bands), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(cfg.rows_per_band):
+        acc = (acc ^ grouped[:, :, j]) * _FNV_PRIME
+    return acc
+
+
+def token_hashes_col(tokens: Column) -> Column:
+    """JVM-side 64-bit token hashing: xxhash64 applied inside a
+    higher-order transform (stays in codegen; no Python)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def with_signatures(df: DataFrame, cfg: SignatureConfig, tokens_col_name: str = "token_hashes") -> DataFrame:
+    """Append minhash / simhash / bands columns computed in one batched
+    pandas UDF over the token-hash array column. Rows with empty token
+    sets must be filtered upstream (they can never clear the lexical
+    floor — reference lexical.py:9-10 scores them 0.0)."""
+
+    @F.pandas_udf(SIG_FIELDS)
+    def sig_udf(tokens_s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in tokens_s:
+            lens = series.map(len).to_numpy(dtype=np.int64)
+            concat = np.concatenate([np.asarray(v, dtype=np.int64) for v in series.to_numpy()]) if len(series) else np.empty(0, dtype=np.int64)
+            concat_u = concat.view(np.uint64) if concat.size else concat.astype(np.uint64)
+            offsets = np.zeros(len(series), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:]) if len(series) > 1 else None
+            if len(series) == 0:
+                yield pd.DataFrame({"minhash": [], "simhash": [], "bands": []})
+                continue
+            mh = minhash_matrix(concat_u, offsets, cfg)
+            sh = simhash_vector(concat_u, offsets, cfg.simhash_bits)
+            bh = band_hashes(mh, cfg)
+            yield pd.DataFrame(
+                {
+                    "minhash": list(mh.view(np.int64)),
+                    "simhash": sh.view(np.int64),
+                    "bands": list(bh.view(np.int64)),
+                }
+            )
+
+    return df.withColumn("sig", sig_udf(F.col(tokens_col_name))).select(
+        "*", "sig.minhash", "sig.simhash", "sig.bands"
+    ).drop("sig")

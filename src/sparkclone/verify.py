@@ -1,0 +1,177 @@
+"""Candidate verification: exact Jaccard, SimHash Hamming, suffix-automaton
+longest-common-substring evidence.
+
+Reference semantics preserved:
+  - exact token-set Jaccard is THE score at oracle config
+    (``similarity/candidates.py:145-148`` with lexical_weight=1.0 — the
+    composite degenerates to the lexical ratio);
+  - lexical floor: drop pairs below ``lexical_min_ratio``
+    (``candidates.py:149-150``);
+  - per-kind thresholds: retrieval is directional and thresholds on the
+    *neighbor's* kind (``candidates.py:151-152,167-172``); with exhaustive
+    retrieval both directions fire, so a pair survives iff
+    jaccard >= min(threshold(kind_a), threshold(kind_b)) — implemented as
+    ``least``.
+
+Everything except LCS stays JVM-side (array_intersect/array_union on
+pre-tokenized columns + bit_count for Hamming). LCS evidence is a batched
+``mapInPandas`` over only the pairs that already passed thresholds — the
+smallest possible Python surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from sparkclone.config import PipelineConfig
+from sparkclone.normalize import jaccard_col
+
+_SIDE_COLS = [
+    "unit_id", "path", "unit_start", "unit_end", "kind",
+    "start_line", "end_line", "tokens", "simhash", "norm_text",
+]
+
+
+def _side(snippets: DataFrame, suffix: str) -> DataFrame:
+    sel = [F.col("snippet_id").alias(f"id_{suffix}")]
+    sel += [F.col(c).alias(f"{c}_{suffix}") for c in _SIDE_COLS]
+    return snippets.select(*sel)
+
+
+def attach_sides(pairs: DataFrame, snippets: DataFrame) -> DataFrame:
+    """Join pair ids back to snippet attributes (reference's
+    ``id_to_snippet`` dict lookup, candidates.py:127,142-144 — here two
+    shuffle joins on snippet_id; Catalyst picks broadcast automatically
+    when the snippet side is small)."""
+    return pairs.join(_side(snippets, "a"), "id_a").join(_side(snippets, "b"), "id_b")
+
+
+def threshold_col(kind_a, kind_b, th) -> F.Column:
+    def t(kind):
+        return (
+            F.when(kind == "FUNC", F.lit(th.func))
+            .when(kind == "WIN", F.lit(th.win))
+            .otherwise(F.lit(th.exp))
+        )
+
+    return F.least(t(kind_a), t(kind_b))
+
+
+def verify_pairs(pairs_with_sides: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Score + filter candidate pairs. Input must carry *_a / *_b side
+    columns (see attach_sides). Output keeps both sides' metadata plus
+    jaccard / hamming / threshold columns."""
+    th = cfg.thresholds
+    scored = pairs_with_sides.withColumn(
+        "jaccard", jaccard_col(F.col("tokens_a"), F.col("tokens_b"))
+    ).withColumn(
+        "hamming",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+    ).withColumn(
+        "kind_threshold", threshold_col(F.col("kind_a"), F.col("kind_b"), th)
+    )
+    return scored.where(
+        (F.col("jaccard") >= F.lit(th.lexical_min_ratio))
+        & (F.col("jaccard") >= F.col("kind_threshold"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest common substring via suffix automaton (linear build over text_a,
+# linear scan of text_b). Python kernel batched over Arrow; applied only to
+# verified pairs.
+# ---------------------------------------------------------------------------
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest common substring of a and b.
+
+    Suffix automaton of `a`; walk `b` through it tracking current match
+    length. O(|a| + |b|). This is the "suffix-array substring matching for
+    near-verbatim clone spans" the north rule mandates (an automaton gives
+    the same LCS answer with better constants in pure Python than building
+    an actual suffix array per pair).
+    """
+    if not a or not b:
+        return 0
+    # suffix automaton arrays; state 0 is the initial state
+    maxlen = [0]
+    link = [-1]
+    trans: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in a:
+        cur = len(maxlen)
+        maxlen.append(maxlen[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if maxlen[p] + 1 == maxlen[q]:
+                link[cur] = q
+            else:
+                clone = len(maxlen)
+                maxlen.append(maxlen[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    best = 0
+    v, length = 0, 0
+    for ch in b:
+        while v and ch not in trans[v]:
+            v = link[v]
+            length = maxlen[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            length += 1
+            if length > best:
+                best = length
+        else:
+            v, length = 0, 0
+    return best
+
+
+def with_lcs_evidence(verified: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Append `lcs_chars` (longest common substring length over normalized
+    texts, capped at lcs_max_chars per side) and `near_verbatim`
+    (SimHash Hamming <= radius)."""
+    if not cfg.lcs_evidence:
+        return verified.withColumn("lcs_chars", F.lit(None).cast("int")).withColumn(
+            "near_verbatim",
+            F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius),
+        )
+    cap = cfg.lcs_max_chars
+    # note: StructType.add mutates in place — build a fresh StructType
+    out_schema = StructType(
+        list(verified.schema.fields) + [StructField("lcs_chars", IntegerType())]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch.copy()
+            batch["lcs_chars"] = [
+                longest_common_substring_len((ta or "")[:cap], (tb or "")[:cap])
+                for ta, tb in zip(batch["norm_text_a"], batch["norm_text_b"])
+            ]
+            yield batch
+
+    with_lcs = verified.mapInPandas(compute, schema=out_schema)
+    return with_lcs.withColumn(
+        "near_verbatim",
+        F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius),
+    )
