@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full near-duplicate pipeline over the
+sf0.001 ``documents`` table mapped to the corpus shape; returns duplicate
+clusters with sizes.
+
+``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible operator
+from SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+MinHash/LSH, text analysis, vector similarity). Every aggregate/computed
+column is aliased identically in the Spark code and the DuckDB SQL.
+Entries without an oracle (full LSH pipeline, SRP ANN) get rows-only
+checks by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_SRC = str(Path(__file__).resolve().parent / "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+
+TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+DTOKEN_SQL = f"list_sort(list_distinct({TOKEN_SQL}))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def documents_as_corpus(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the corpus input shape
+    (repo, path, commit, lang, content)."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lpad(F.lit("0"), 40, "0").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _doc_pipeline_config():
+    from sparkclone.config import PipelineConfig, WindowConfig
+
+    # documents are single-line texts: keep the 12/6 window geometry but
+    # min_nonempty=1 so one-line docs still produce a WIN snippet.
+    return PipelineConfig(windows=WindowConfig(window_lines=12, stride_lines=6, min_nonempty=1))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clusters of sf0.001 documents."""
+    from sparkclone.pipeline import run_pipeline
+
+    corpus = documents_as_corpus(_docs(spark, "/root/testdata/sf0.001"))
+    out = run_pipeline(spark, corpus, _doc_pipeline_config())
+    sizes = out["cluster_sizes"]
+    return sizes.select(
+        "cluster_id",
+        "member_count",
+        F.col("cluster_root").alias("sample_unit"),
+    ).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable queries
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from sparkclone.textops import distinct_tokens, doc_tokens
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(doc_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(distinct_tokens(F.col("text"))).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.sha2("text", 256).alias("text_sha256")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc")
+    )
+
+
+def _q_exact_dup_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("h"))
+    a = d.select(F.col("doc_id").alias("doc_a"), "h")
+    b = d.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def _q_shingle_stats(spark, sf_dir):
+    from sparkclone.textops import doc_tokens, word_shingles
+
+    d = _docs(spark, sf_dir)
+    toks = doc_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(word_shingles(toks, 3)).cast("long").alias("n_shingles"),
+    )
+
+
+def _q_doc_minhash(spark, sf_dir):
+    from sparkclone.textops import distinct_tokens, minhash_md5
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", minhash_md5(distinct_tokens(F.col("text")), 4).alias("minhash")
+    )
+
+
+def _q_lsh_band_buckets(spark, sf_dir):
+    from sparkclone.textops import band_bucket, distinct_tokens, minhash_md5
+
+    d = _docs(spark, sf_dir)
+    mh = minhash_md5(distinct_tokens(F.col("text")), 4)
+    return (
+        d.select(band_bucket(mh, 1).alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+def _q_near_dup_pairs(spark, sf_dir):
+    """Mini LSH-verify in one query: candidates share the first md5
+    minhash value; verification is exact token-set Jaccard >= 0.5
+    (X1 semantics on documents)."""
+    from sparkclone.textops import distinct_tokens, jaccard_sets, minhash_md5
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        distinct_tokens(F.col("text")).alias("toks"),
+        F.element_at(minhash_md5(distinct_tokens(F.col("text")), 1), 1).alias("mh1"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), "mh1")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), "mh1")
+    return (
+        a.join(b, "mh1")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jaccard_sets(F.col("ta"), F.col("tb")), 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from sparkclone.textops import doc_tokens, lang_guess, stopword_ratio
+
+    d = _docs(spark, sf_dir)
+    toks = doc_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
+        lang_guess(toks).alias("lang_guess"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    from sparkclone.textops import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from sparkclone.textops import fingerprint_min_md5
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint_min_md5(F.col("text"), 5).alias("fp"))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_latest_order(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+
+
+def _q_open_order_customers(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    c = _tbl(spark, sf_dir, "customer")
+    return c.join(
+        o.select("o_custkey").dropDuplicates(),
+        c["c_custkey"] == o["o_custkey"],
+        "left_semi",
+    ).select("c_custkey")
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    return c.join(
+        o.select("o_custkey").dropDuplicates(),
+        c["c_custkey"] == o["o_custkey"],
+        "left_anti",
+    ).select("c_custkey")
+
+
+def _q_user_sessions(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _q_event_type_stats(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from sparkclone.vector import l2_norm
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 5).alias("l2"),
+    )
+
+
+def _q_cosine_top3(spark, sf_dir):
+    from sparkclone.vector import brute_force_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return brute_force_topk(q, e, k=3, round_digits=4)
+
+
+def _q_label_centroid_norms(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    exploded = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    means = exploded.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .join(
+            e.groupBy("label").agg(F.count("*").alias("n_vecs")),
+            "label",
+        )
+        .select("label", "n_vecs", "centroid_norm")
+    )
+
+
+# --- rows-only entries (not SQL-expressible; driver records weaker check) --
+
+
+def _q_clone_clusters_docs(spark, sf_dir):
+    from sparkclone.pipeline import run_pipeline
+
+    corpus = documents_as_corpus(_docs(spark, sf_dir))
+    out = run_pipeline(spark, corpus, _doc_pipeline_config())
+    return out["clusters"].select("unit_id", "cluster_id")
+
+
+def _q_clone_cluster_sizes_docs(spark, sf_dir):
+    from sparkclone.pipeline import run_pipeline
+
+    corpus = documents_as_corpus(_docs(spark, sf_dir))
+    out = run_pipeline(spark, corpus, _doc_pipeline_config())
+    return out["cluster_sizes"].select("cluster_id", "member_count", "cluster_root")
+
+
+def _q_srp_ann_top3(spark, sf_dir):
+    from sparkclone.vector import srp_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return srp_topk(e, k=3, n_planes=8, seed=42)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_token_stats": _q_doc_token_stats,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dup_pairs": _q_exact_dup_pairs,
+        "shingle_stats": _q_shingle_stats,
+        "doc_minhash": _q_doc_minhash,
+        "lsh_band_buckets": _q_lsh_band_buckets,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "lang_id": _q_lang_id,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "latest_order": _q_latest_order,
+        "open_order_customers": _q_open_order_customers,
+        "customers_without_orders": _q_customers_without_orders,
+        "user_sessions": _q_user_sessions,
+        "event_type_stats": _q_event_type_stats,
+        "embedding_norms": _q_embedding_norms,
+        "cosine_top3": _q_cosine_top3,
+        "label_centroid_norms": _q_label_centroid_norms,
+        "clone_clusters_docs": _q_clone_clusters_docs,
+        "clone_cluster_sizes_docs": _q_clone_cluster_sizes_docs,
+        "srp_ann_top3": _q_srp_ann_top3,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        f"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, greatest(len(t) - 1, 1))]"
+    )
+    return {
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({TOKEN_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({TOKEN_SQL})) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT sha256(text) AS text_sha256,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS rep_doc
+            FROM documents GROUP BY 1
+        """,
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM documents a JOIN documents b
+              ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+        """,
+        "shingle_stats": f"""
+            SELECT doc_id,
+                   CAST(len(list_sort(list_distinct({shingles}))) AS BIGINT) AS n_shingles
+            FROM (SELECT doc_id, {TOKEN_SQL} AS t FROM documents)
+        """,
+        "doc_minhash": f"""
+            SELECT doc_id,
+                   list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1:4] AS minhash
+            FROM documents
+        """,
+        "lsh_band_buckets": f"""
+            SELECT substr(list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1], 1, 8) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_doc
+            FROM documents GROUP BY 1
+        """,
+        "near_dup_pairs": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     {DTOKEN_SQL} AS toks,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1] AS mh1
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+            FROM m a JOIN m b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(t, x -> list_contains(
+                             ['the','a','of','to','and','in','is','it'], x))) AS DOUBLE) / len(t)
+                        END, 6) AS stop_ratio,
+                   CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(t, x -> list_contains(
+                             ['the','a','of','to','and','in','is','it'], x))) AS DOUBLE) / len(t)
+                        END) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM (SELECT doc_id, {TOKEN_SQL} AS t FROM documents)
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   round((
+                     least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                     + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+                          ELSE CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a,b) -> a+b) AS DOUBLE) / len(t) END) BETWEEN 3.0 AND 8.0
+                        THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) END)
+                   ) / 3.0, 6) AS quality
+            FROM (SELECT doc_id, text, {TOKEN_SQL} AS t FROM documents)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(text) < 5 THEN NULL
+                        ELSE list_sort([md5(substr(text, i, 5)) for i in range(1, length(text) - 3)])[1]
+                   END AS fp
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, revenue FROM (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1
+            ) r JOIN customer ON c_custkey = o_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "latest_order": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "open_order_customers": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   round(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)), 5) AS l2
+            FROM embeddings
+        """,
+        "cosine_top3": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_reduce(list_prepend(0.0,
+                         [CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                          for i in range(1, len(q.embedding) + 1)]), (a,b) -> a+b)
+                       / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+                          * sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+                     , 4) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 20
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "label_centroid_norms": """
+            WITH flat AS (
+              SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ), means AS (
+              SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m FROM flat GROUP BY 1, 2
+            )
+            SELECT label,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings e WHERE e.label = means.label) AS n_vecs,
+                   round(sqrt(sum(m * m)), 4) AS centroid_norm
+            FROM means GROUP BY label
+        """,
+    }

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Headliners:
+  - pipeline_corpus: the full near-duplicate pipeline over a synthesized
+    corpus sized proportionally to the scale factor (~40k files/sf unit) —
+    the throughput number BASELINE.md compares
+  - clone_docs: doc-level dedup pipeline over the sf documents table
+  - relational/vector operators: pricing_summary, top_customers,
+    user_sessions, cosine_top3, srp_ann_top3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkclone-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from sparkclone.config import benchmark_config
+    from sparkclone.corpus import generate_corpus_rows, rows_to_parquet
+    from sparkclone.pipeline import load_corpus, run_pipeline
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- headline: full pipeline on a synthesized corpus scaled to sf ----
+    n_repos = max(20, int(4000 * sf))          # sf0.1 -> 400 repos
+    files_per_repo = 10                        # ~sf0.1 -> ~4k files
+    rows = generate_corpus_rows(seed=42, n_repos=n_repos, files_per_repo=files_per_repo)
+    tmp = tempfile.mkdtemp(prefix="bench-corpus-")
+    corpus_path = f"{tmp}/corpus.parquet"
+    rows_to_parquet(rows, corpus_path)
+
+    t0 = time.perf_counter()
+    out = run_pipeline(spark, load_corpus(spark, corpus_path), benchmark_config())
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    n_findings = out["findings"].count()
+    wall = time.perf_counter() - t0
+    timings["pipeline_corpus"] = round(wall, 3)
+    extra["corpus_files"] = len(rows)
+    extra["corpus_files_per_sec"] = round(len(rows) / wall, 2)
+    extra["corpus_clusters"] = n_clusters
+    extra["corpus_findings"] = n_findings
+
+    # --- doc-level dedup pipeline over the sf documents table ------------
+    t0 = time.perf_counter()
+    df = entrymod._q_clone_cluster_sizes_docs(spark, sf_dir)
+    extra["doc_clusters"] = df.count()
+    timings["clone_docs"] = round(time.perf_counter() - t0, 3)
+
+    # --- operator headliners ---------------------------------------------
+    qs = entrymod.queries()
+    for name in [
+        "pricing_summary",
+        "top_customers",
+        "user_sessions",
+        "exact_dup_groups",
+        "doc_minhash",
+        "cosine_top3",
+        "srp_ann_top3",
+    ]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

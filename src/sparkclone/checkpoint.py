@@ -71,8 +71,11 @@ class CheckpointManager:
         t0 = time.perf_counter()
         df = compute()
         if d is None:
-            # in-memory run: stay lazy (no forced count — the caller's
-            # actions drive evaluation); rows unknown until materialized.
+            # in-memory run: persist so the many downstream actions
+            # (stats, next stages, user queries) don't recompute the whole
+            # upstream DAG per action. Materialization happens on first
+            # use; rows stay unknown here.
+            df = df.persist()
             self.metrics.append(StageMetrics(stage, -1, time.perf_counter() - t0, -1, {}))
             return df
         d.parent.mkdir(parents=True, exist_ok=True)

@@ -74,10 +74,18 @@ def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("s"))).alias("b_lo"),
         F.col("s").alias("b_hi"),
     )
+    # A pair's id order is independent of its block order: for block pair
+    # (b_lo < b_hi) the left row may carry the lexically larger id, so
+    # canonicalize with least/greatest rather than filtering id_a < id_b
+    # (same-block pairs appear in both orientations and dedupe away in
+    # candidate_pairs' dropDuplicates).
     return (
         left.join(right, ["band_id", "band_hash", "b_lo", "b_hi"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     )
 
 

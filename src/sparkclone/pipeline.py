@@ -148,8 +148,17 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     ck = CheckpointManager(spark, cfg.config_hash(), checkpoint_dir)
 
+    # The extraction stage is the Python-kernel-bound one (ast parsing in
+    # mapInPandas): make sure it runs at full parallelism even when the
+    # input arrives as a handful of parquet row groups. At cluster scale
+    # the input already has many partitions and this is a no-op.
+    dp = spark.sparkContext.defaultParallelism
+    src = corpus
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
+
     snippets = ck.load_or_compute(
-        "snippets", lambda: tokenize_snippets(extract_snippets(corpus, cfg.windows), cfg)
+        "snippets", lambda: tokenize_snippets(extract_snippets(src, cfg.windows), cfg)
     )
     reps, star_edges = collapse_exact(snippets)
     signatures = ck.load_or_compute("signatures", lambda: with_signatures(reps, cfg.signature))

@@ -1,0 +1,125 @@
+"""Text-analysis / document-dedup column builders.
+
+Large-scale training-data pipeline operators over a document/text column,
+each expressed as pure JVM-side column expressions (no UDFs) so they stay
+inside whole-stage codegen AND remain expressible in ANSI-ish SQL for the
+DuckDB cross-check oracle:
+
+  - tokenization + token stats (whitespace/identifier tokens)
+  - word k-shingles (the MinHash input of the clone engine, doc-level)
+  - portable MinHash via md5 (same function exists in DuckDB, so the
+    *identical* sketch is computable by the oracle — unlike xxhash64)
+  - LSH band buckets over the md5 MinHash
+  - exact dedup via sha2(text)
+  - language-ID heuristic (stopword-hit ratio)
+  - quality scoring (length / word-length / alpha ratios)
+  - character n-gram fingerprinting (min-md5 over char 5-grams —
+    a winnowing-style document fingerprint)
+
+The clone pipeline proper uses the faster xxhash64-based sketches in
+signatures.py; these md5 variants are the cross-engine-verifiable twins
+with identical structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9_]+"
+
+# Tiny fixed stoplist (shared literal with the SQL oracle).
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+
+def doc_tokens(text: Column) -> Column:
+    """All tokens (with duplicates), lowercased."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_sort(F.array_distinct(doc_tokens(text)))
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Sorted distinct k-word shingles joined by single spaces."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def minhash_md5(items: Column, k: int = 4) -> Column:
+    """k-minimum-values sketch over md5(item) — portable across engines.
+    Returns the k smallest md5 hex digests (sorted ascending)."""
+    return F.slice(F.array_sort(F.transform(items, lambda t: F.md5(t))), 1, k)
+
+
+def band_bucket(minhash: Column, band: int = 1) -> Column:
+    """An LSH band key: 8-hex prefix of the band-th minhash value."""
+    return F.substring(F.element_at(minhash, band), 1, 8)
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(tokens) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(tokens).cast("double")
+    )
+
+
+def mean_token_len(tokens: Column) -> Column:
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(tokens) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(tokens).cast("double")
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ascii letters or space."""
+    stripped = F.regexp_replace(text, "[^A-Za-z ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(text).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: rewards mid-length docs,
+    plausible word lengths, high alpha ratio. Deterministic arithmetic
+    only (cross-engine reproducible)."""
+    toks = doc_tokens(text)
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    wl = mean_token_len(toks)
+    wl_score = F.when((wl >= 3.0) & (wl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + wl_score + alpha_ratio(text)) / F.lit(3.0), 6)
+
+
+def lang_guess(tokens: Column, threshold: float = 0.05) -> Column:
+    """Stopword-ratio language-ID heuristic: 'en' iff the stopword hit
+    ratio clears the threshold."""
+    return F.when(stopword_ratio(tokens) >= F.lit(threshold), F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    ln = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(text, i, n))
+
+
+def fingerprint_min_md5(text: Column, n: int = 5) -> Column:
+    """Winnowing-style document fingerprint: minimum md5 over character
+    n-grams; null for texts shorter than n."""
+    grams = char_ngrams(text, n)
+    return F.when(F.size(grams) == 0, F.lit(None)).otherwise(
+        F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    )
+
+
+def jaccard_sets(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )

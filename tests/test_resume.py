@@ -1,0 +1,76 @@
+"""Checkpoint/resume: kill-after-stage-k then rerun must produce identical
+output and actually resume (north_rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from sparkclone.config import benchmark_config
+from sparkclone.pipeline import load_corpus, run_pipeline
+
+
+def _findings_key(out):
+    return sorted(
+        (r["unit_a"], r["unit_b"], round(r["score"], 6))
+        for r in out["findings"].collect()
+    )
+
+
+def test_resume_after_partial_run(spark, corpus_parquet, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    corpus = load_corpus(spark, corpus_parquet)
+    cfg = benchmark_config()
+
+    out1 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    key1 = _findings_key(out1)
+    assert key1
+
+    # simulate a crash after 'signatures': wipe downstream stages
+    for stage in ["candidate_pairs", "verified", "findings", "clusters"]:
+        for p in glob.glob(f"{ck}/*/{stage}"):
+            shutil.rmtree(p)
+        for p in glob.glob(f"{ck}/*/{stage}.metrics.json"):
+            os.remove(p)
+
+    out2 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    resumed = [m.stage for m in out2["metrics"].metrics if m.resumed]
+    assert resumed == ["snippets", "signatures"]
+    assert _findings_key(out2) == key1
+
+
+def test_metrics_lineage_recorded(spark, corpus_parquet, tmp_path):
+    ck = str(tmp_path / "ckpt2")
+    corpus = load_corpus(spark, corpus_parquet)
+    cfg = benchmark_config()
+    run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+
+    metrics_files = glob.glob(f"{ck}/*/_metrics.json")
+    assert len(metrics_files) == 1
+    payload = json.load(open(metrics_files[0]))
+    stages = [m["stage"] for m in payload]
+    assert stages[:2] == ["snippets", "signatures"]
+    for m in payload:
+        if not m["resumed"]:
+            # per-partition lineage: partition_rows sums to stage rows
+            assert sum(m["partition_rows"].values()) == m["rows"]
+            assert m["wall_s"] >= 0
+
+
+def test_config_hash_isolates_checkpoints(spark, corpus_parquet, tmp_path):
+    """A different config must not read the other config's checkpoints."""
+    from dataclasses import replace
+
+    from sparkclone.config import WindowConfig
+
+    ck = str(tmp_path / "ckpt3")
+    corpus = load_corpus(spark, corpus_parquet)
+    cfg_a = benchmark_config()
+    cfg_b = replace(cfg_a, windows=WindowConfig(10, 5, 4))
+    assert cfg_a.config_hash() != cfg_b.config_hash()
+    run_pipeline(spark, corpus, cfg_a, checkpoint_dir=ck)
+    out_b = run_pipeline(spark, corpus, cfg_b, checkpoint_dir=ck)
+    assert not any(m.resumed for m in out_b["metrics"].metrics)

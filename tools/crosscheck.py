@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry via Spark AND its oracle_sql() via DuckDB at the given sf dir,
+compare row count, schema (column names), and order-insensitive values.
+
+Usage: PYTHONPATH=src python tools/crosscheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL  {name}: schema mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            failures += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            failures += 1
+            continue
+        cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+        if cs != cd:
+            diff = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch at sorted rows {diff}")
+            for i in diff:
+                print(f"      spark: {cs[i]}")
+                print(f"      duck : {cd[i]}")
+            failures += 1
+            continue
+        print(f"OK    {name}: {len(s_rows)} rows")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
