@@ -324,7 +324,7 @@ def _q_srp_ann_top3(spark, sf_dir):
     from sparkclone.vector import srp_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    return srp_topk(e, k=3, n_planes=8, seed=42)
+    return srp_topk(e, k=3, n_planes=4, n_tables=8, seed=42)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

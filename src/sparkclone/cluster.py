@@ -71,11 +71,10 @@ def connected_components(
                 ).alias("new_label"),
                 F.col("label"),
             )
+            .localCheckpoint(eager=True)  # one materialization per round
         )
         changed = updated.where(F.col("new_label") != F.col("label")).count()
-        labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
 

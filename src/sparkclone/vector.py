@@ -91,30 +91,42 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def srp_topk(
     df: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
 ) -> DataFrame:
     """Approximate top-k cosine self-join: candidates share an SRP bucket
-    (expected collision prob = 1 - theta/pi per plane), then exact cosine +
-    window rank within candidates. The cross join is replaced by a bucket
-    equi-join — the 100 TB-viable plan."""
+    in at least one of ``n_tables`` independent hash tables (collision
+    prob per plane = 1 - theta/pi; multiple tables trade candidate volume
+    for recall exactly like LSH band count), then exact cosine + window
+    rank within candidates. The cross join is replaced by bucket
+    equi-joins — the 100 TB-viable plan."""
     dim = len(df.select(vec_col).first()[0])
-    planes = _srp_hyperplanes(dim, n_planes, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _srp_hyperplanes(dim, n_planes, seed + 7919 * t)
+        bucket_cols.append(srp_bucket(F.col("v"), planes).alias(f"b{t}"))
+    b = b.select("id", "v", *bucket_cols)
+    # one row per (table, bucket): explode the table buckets, qualify the
+    # bucket key with the table index so tables don't cross-match
+    tb = b.select(
+        "id",
+        "v",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+            "table", "bucket"
+        ),
     )
-    left = b.select(F.col("id").alias("query_id"), F.col("v").alias("__qv"), "bucket")
-    right = b.select(F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"), "bucket")
+    left = tb.select("table", "bucket", F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    right = tb.select("table", "bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"))
     scored = (
-        left.join(right, "bucket")
+        left.join(right, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
