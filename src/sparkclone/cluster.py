@@ -30,6 +30,7 @@ def connected_components(
     cfg: ClusterConfig,
     src: str = "unit_a",
     dst: str = "unit_b",
+    dense_ids: bool = True,
 ) -> DataFrame:
     """edges(src, dst) -> (unit_id, cluster_id, cluster_root).
 
@@ -43,6 +44,7 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .select(F.xxhash64("a").alias("u"), F.xxhash64("b").alias("v"))
         .dropDuplicates()
+        .persist()
     )
     nodes = (
         edges.select(F.col(src).alias("unit_id"))
@@ -50,6 +52,40 @@ def connected_components(
         .dropDuplicates()
         .withColumn("node", F.xxhash64("unit_id"))
     )
+
+    # Hybrid execution: finding graphs are usually tiny relative to the
+    # corpus; below the threshold, collect the int64 edge list and run
+    # the same path-compressed union-find the reference uses — exact,
+    # deterministic, and a handful of ms instead of one Spark job round
+    # per label-propagation iteration. The distributed loop below remains
+    # the path for billion-edge graphs.
+    n_edges = e.count()
+    if n_edges <= cfg.small_graph_edges:
+        spark = edges.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return parent.get(x, x)
+
+        for row in e.toLocalIterator():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        label_rows = [(n, find(n)) for n in parent]
+        labels_df = spark.createDataFrame(label_rows, "node long, label long")
+        # left join: nodes appearing only in self-edge findings keep
+        # themselves as label (singleton clusters — clustering.py:27-31
+        # registers both endpoints of every finding)
+        membership = nodes.join(F.broadcast(labels_df), "node", "left").select(
+            "unit_id", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+        return _densify(membership, dense_ids)
     # symmetric edge list (u -> v both directions)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).dropDuplicates()
     sym = sym.localCheckpoint(eager=True)
@@ -79,11 +115,21 @@ def connected_components(
             break
 
     membership = nodes.join(labels, "node").select("unit_id", F.col("label"))
-    # densify: cluster_root = min member identity; cluster_id = dense rank
+    return _densify(membership, dense_ids)
+
+
+def _densify(membership: DataFrame, dense_ids: bool) -> DataFrame:
     roots = membership.groupBy("label").agg(F.min("unit_id").alias("cluster_root"))
-    dense = roots.withColumn(
-        "cluster_id", F.dense_rank().over(Window.orderBy("cluster_root"))
-    )
+    if dense_ids:
+        # densify 1..K ordered by min member identity. The global
+        # dense_rank runs in a single task — fine up to millions of
+        # clusters (cluster COUNT, not membership); for larger runs pass
+        # dense_ids=False and use the stable 64-bit root label directly.
+        dense = roots.withColumn(
+            "cluster_id", F.dense_rank().over(Window.orderBy("cluster_root"))
+        )
+    else:
+        dense = roots.withColumn("cluster_id", F.col("label"))
     return membership.join(dense, "label").select("unit_id", "cluster_id", "cluster_root")
 
 

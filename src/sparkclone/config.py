@@ -104,6 +104,12 @@ class ClusterConfig:
 
     min_size: int = 2
     max_iterations: int = 25
+    # Edge-count threshold below which connected components run as a
+    # driver-side path-compressed union-find (the reference's own
+    # algorithm, clustering.py:8-43) instead of the iterative DataFrame
+    # loop. Finding graphs are orders smaller than the corpus; 2M edges
+    # collect to ~32 MB. Above the threshold the distributed loop runs.
+    small_graph_edges: int = 2_000_000
 
 
 @dataclass(frozen=True)

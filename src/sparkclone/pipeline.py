@@ -67,48 +67,61 @@ def tokenize_snippets(snippets: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def collapse_exact(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Exact-duplicate pre-collapse (SURVEY.md §4 mitigation (c), mirroring
-    StubEmbedder semantics — identical normalized text <=> cosine 1.0,
-    ``embedding/stub_embedder.py:19-27``).
+    """Exact-duplicate pre-collapse (SURVEY.md §4 mitigation (c)).
+
+    Collapse key is the *distinct token set*, not the raw text: two
+    snippets with identical token sets have exact Jaccard 1.0, which
+    clears every reference threshold unconditionally
+    (candidates.py:149-152), so replacing their O(n^2) pairwise matches
+    with O(n) star edges to one representative preserves the cluster
+    pair-set exactly. This strictly generalizes same-text collapse
+    (same normalized text => same token set) and mirrors StubEmbedder
+    semantics (cosine 1.0 <=> identical text, stub_embedder.py:19-27)
+    while also absorbing reordered/reformatted boilerplate — the skew
+    stressor of the north rule.
 
     Returns (reps, star_edges):
-      reps — one representative snippet per distinct ``text_hash``
-      (min snippet_id, deterministic);
-      star_edges — (rep, member) snippet pairs with jaccard 1.0 connecting
-      every collapsed member to its representative. O(n) edges per
-      duplicate family instead of O(n^2) pairs: connected components then
-      implies the full pairwise clique, which is what the cluster-pair
-      acceptance metric consumes.
+      reps — one representative per distinct token set (min snippet_id);
+      star_edges — (rep, member) matches with jaccard 1.0, hamming 0
+      (identical token sets give identical SimHash by construction);
+      lcs_chars is text length when the raw texts are also identical,
+      null otherwise (char-level LCS undefined without the texts).
     """
-    w = Window.partitionBy("text_hash")
-    with_rep = tokenized.withColumn("rep_id", F.min("snippet_id").over(w))
+    keyed = tokenized.withColumn(
+        "tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens")))
+    )
+    w = Window.partitionBy("tokenset_hash")
+    with_rep = keyed.withColumn("rep_id", F.min("snippet_id").over(w))
     reps = with_rep.where(F.col("snippet_id") == F.col("rep_id")).drop("rep_id")
 
     members = with_rep.where(F.col("snippet_id") != F.col("rep_id"))
+    side_cols = [
+        "unit_id", "path", "unit_start", "unit_end", "kind",
+        "start_line", "end_line",
+    ]
     rep_side = reps.select(
-        F.col("text_hash"),
+        F.col("tokenset_hash"),
         F.col("snippet_id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in [
-            "unit_id", "path", "unit_start", "unit_end", "kind",
-            "start_line", "end_line",
-        ]],
+        *[F.col(c).alias(f"{c}_a") for c in side_cols],
+        F.col("text_hash").alias("__rep_text_hash"),
         F.length("norm_text").alias("__text_len"),
     )
     member_side = members.select(
-        F.col("text_hash"),
+        F.col("tokenset_hash"),
         F.col("snippet_id").alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in [
-            "unit_id", "path", "unit_start", "unit_end", "kind",
-            "start_line", "end_line",
-        ]],
+        *[F.col(c).alias(f"{c}_b") for c in side_cols],
+        F.col("text_hash").alias("__member_text_hash"),
     )
-    star_edges = rep_side.join(member_side, "text_hash").select(
+    star_edges = rep_side.join(member_side, "tokenset_hash").select(
         "id_a", "id_b",
-        *[f"{c}_a" for c in ["unit_id", "path", "unit_start", "unit_end", "kind", "start_line", "end_line"]],
-        *[f"{c}_b" for c in ["unit_id", "path", "unit_start", "unit_end", "kind", "start_line", "end_line"]],
+        *[f"{c}_a" for c in side_cols],
+        *[f"{c}_b" for c in side_cols],
         F.lit(1.0).alias("jaccard"),
         F.lit(0).alias("hamming"),
-        F.col("__text_len").cast("int").alias("lcs_chars"),
+        F.when(
+            F.col("__rep_text_hash") == F.col("__member_text_hash"),
+            F.col("__text_len").cast("int"),
+        ).alias("lcs_chars"),
         F.lit(True).alias("near_verbatim"),
     )
     return reps, star_edges

@@ -156,6 +156,12 @@ def with_lcs_evidence(verified: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius),
         )
     cap = cfg.lcs_max_chars
+    # LCS evidence is for NEAR-VERBATIM clone spans (north_rule): only
+    # pairs whose SimHash Hamming distance is within 2x the near radius
+    # get the Python suffix-automaton pass — everything else is a renamed/
+    # structural near-dup where a char-level LCS is meaningless. This
+    # bounds the Python surface to a small fraction of verified pairs.
+    gate = 2 * cfg.signature.simhash_near_radius
     # note: StructType.add mutates in place — build a fresh StructType
     out_schema = StructType(
         list(verified.schema.fields) + [StructField("lcs_chars", IntegerType())]
@@ -166,7 +172,11 @@ def with_lcs_evidence(verified: DataFrame, cfg: PipelineConfig) -> DataFrame:
             batch = batch.copy()
             batch["lcs_chars"] = [
                 longest_common_substring_len((ta or "")[:cap], (tb or "")[:cap])
-                for ta, tb in zip(batch["norm_text_a"], batch["norm_text_b"])
+                if ham is not None and ham <= gate
+                else None
+                for ta, tb, ham in zip(
+                    batch["norm_text_a"], batch["norm_text_b"], batch["hamming"]
+                )
             ]
             yield batch
 
