@@ -28,6 +28,28 @@ if _SRC not in sys.path:
 TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 DTOKEN_SQL = f"list_sort(list_distinct({TOKEN_SQL}))"
 
+# 16-bit SimHash in portable SQL (bit source: first 4 hex chars of
+# md5(token); majority vote per bit, ties -> clear) — the DuckDB twin of
+# sparkclone.textops.simhash16.
+_SIMHASH16_VOTES = ", ".join(
+    f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+)
+_SIMHASH16_VALUE = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+_SIMHASH16_CTE = f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({DTOKEN_SQL}) AS t FROM documents
+            ), hv AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS v FROM toks
+            ), votes AS (
+              SELECT doc_id, {_SIMHASH16_VOTES} FROM hv GROUP BY doc_id
+            ), sh AS (
+              SELECT d.doc_id,
+                     CAST(coalesce({_SIMHASH16_VALUE}, 0) AS BIGINT) AS simhash16
+              FROM documents d LEFT JOIN votes USING (doc_id)
+            )"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -301,6 +323,167 @@ def _q_label_centroid_norms(spark, sf_dir):
     )
 
 
+def _q_simhash16_docs(spark, sf_dir):
+    from sparkclone.textops import simhash16
+
+    return simhash16(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: candidates share the first md5 minhash,
+    similarity = Hamming distance of the 16-bit oracle-portable SimHash
+    (near-verbatim prefilter semantics, SURVEY.md §2.8 E4)."""
+    from sparkclone.textops import distinct_tokens, minhash_md5, simhash16
+
+    docs = _docs(spark, sf_dir)
+    sh = simhash16(docs, "doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.element_at(minhash_md5(distinct_tokens(F.col("text")), 1), 1).alias("mh1"),
+    ).join(sh, "doc_id")
+    a = d.select(F.col("doc_id").alias("doc_a"), "mh1", F.col("simhash16").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "mh1", F.col("simhash16").alias("sb"))
+    return (
+        a.join(b, "mh1")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+        .where(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _q_kmv_jaccard_pairs(spark, sf_dir):
+    """KMV sketch Jaccard estimate vs exact Jaccard per candidate pair —
+    the estimator the MinHash stage relies on, exposed as a query."""
+    from sparkclone.textops import (
+        distinct_tokens,
+        jaccard_sets,
+        kmv_jaccard_est,
+        minhash_md5,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        distinct_tokens(F.col("text")).alias("toks"),
+        minhash_md5(distinct_tokens(F.col("text")), 8).alias("kmv"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("kmv").alias("ka"),
+        F.element_at("kmv", 1).alias("mh1"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("kmv").alias("kb"),
+        F.element_at("kmv", 1).alias("mh1"),
+    )
+    return (
+        a.join(b, "mh1")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(kmv_jaccard_est(F.col("ka"), F.col("kb"), 8), 6).alias("kmv_est"),
+            F.round(jaccard_sets(F.col("ta"), F.col("tb")), 6).alias("jaccard"),
+        )
+    )
+
+
+def _q_char_ngram_dup_pairs(spark, sf_dir):
+    """Character-5-gram near-dup pairs: candidates share the min-md5
+    winnowing fingerprint; verification is exact char-ngram Jaccard."""
+    from sparkclone.textops import char_ngrams, fingerprint_min_md5, jaccard_sets
+
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_sort(F.array_distinct(char_ngrams(F.col("text"), 5))).alias("grams"),
+            fingerprint_min_md5(F.col("text"), 5).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), "fp")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("char_jaccard", F.round(jaccard_sets(F.col("ga"), F.col("gb")), 6))
+        .where(F.col("char_jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "char_jaccard")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing (media.py): documents as opaque payloads through
+    the batched mapInPandas decode seam; byte counts + content digests are
+    oracle-checkable, the feature vector is the deterministic fake."""
+    from sparkclone.media import extract_media_features
+    from sparkclone.runtime import ensure_shipped
+
+    ensure_shipped(spark)  # mapInPandas closure needs the package on workers
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").alias("data"),
+    )
+    feats = extract_media_features(media, use_fake_decoder=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_md5",
+        F.size("feature").cast("int").alias("dim"),
+    )
+
+
+def _q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan (media.py): JVM-side sequence/explode of
+    the frame indices a decoder would extract."""
+    from sparkclone.media import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("data")
+    )
+    return frame_sample_plan(media, every_n=30)
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped multi-join: ASIA revenue by nation with local
+    suppliers. Dims (region, nation, supplier) are broadcast; the only
+    shuffles are the orders⋈lineitem join and the final aggregation."""
+    region = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _tbl(spark, sf_dir, "nation")
+    customer = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    lineitem = _tbl(spark, sf_dir, "lineitem")
+    supplier = _tbl(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_top_parts(spark, sf_dir):
+    lineitem = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
 # --- rows-only entries (not SQL-expressible; driver records weaker check) --
 
 
@@ -339,6 +522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "simhash16_docs": _q_simhash16_docs,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "kmv_jaccard_pairs": _q_kmv_jaccard_pairs,
+        "char_ngram_dup_pairs": _q_char_ngram_dup_pairs,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_sample_plan,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_parts": _q_top_parts,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "latest_order": _q_latest_order,
@@ -437,6 +628,99 @@ def oracle_sql() -> dict[str, str]:
                         ELSE list_sort([md5(substr(text, i, 5)) for i in range(1, length(text) - 3)])[1]
                    END AS fp
             FROM documents
+        """,
+        "simhash16_docs": f"""
+            {_SIMHASH16_CTE}
+            SELECT doc_id, simhash16 FROM sh
+        """,
+        "simhash_hamming_pairs": f"""
+            {_SIMHASH16_CTE},
+            m AS (
+              SELECT doc_id,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1] AS mh1
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(sa.simhash16, sb.simhash16)) AS INT) AS hamming
+            FROM m a JOIN m b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+            JOIN sh sa ON sa.doc_id = a.doc_id
+            JOIN sh sb ON sb.doc_id = b.doc_id
+            WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= 4
+        """,
+        "kmv_jaccard_pairs": f"""
+            WITH m AS (
+              SELECT doc_id, {DTOKEN_SQL} AS toks,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1:8] AS kmv
+              FROM documents
+            )
+            SELECT doc_a, doc_b,
+                   round(CASE WHEN len(u) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(u, x -> list_contains(ka, x)
+                                                     AND list_contains(kb, x))) AS DOUBLE)
+                              / len(u) END, 6) AS kmv_est,
+                   jaccard
+            FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:8] AS u,
+                     a.kmv AS ka, b.kmv AS kb,
+                     round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+              FROM m a JOIN m b ON a.kmv[1] = b.kmv[1] AND a.doc_id < b.doc_id
+            )
+        """,
+        "char_ngram_dup_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_sort(list_distinct([substr(text, i, 5)
+                                              for i in range(1, length(text) - 3)])) AS grams,
+                     list_sort([md5(substr(text, i, 5))
+                                for i in range(1, length(text) - 3)])[1] AS fp
+              FROM documents WHERE length(text) >= 5
+            )
+            SELECT doc_a, doc_b, char_jaccard FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS char_jaccard
+              FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ) WHERE char_jaccard >= 0.3
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id, 'text' AS kind,
+                   CAST(strlen(text) AS INT) AS n_bytes,
+                   md5(text) AS content_md5,
+                   CAST(16 AS INT) AS dim
+            FROM documents
+        """,
+        "frame_sample_plan": """
+            SELECT media_id,
+                   CAST(generate_subscripts(L, 1) - 1 AS INT) AS sample_idx,
+                   CAST(unnest(L) AS INT) AS frame_no
+            FROM (
+              SELECT doc_id AS media_id,
+                     [x for x in generate_series(0,
+                        greatest(CAST(length(text) // 10 AS INT) - 1, 0), 30)] AS L
+              FROM documents
+            )
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, revenue FROM (
+              SELECT p_partkey, p_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2
+            ) ORDER BY revenue DESC, p_partkey LIMIT 10
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -71,12 +71,14 @@ class CheckpointManager:
         t0 = time.perf_counter()
         df = compute()
         if d is None:
-            # in-memory run: persist so the many downstream actions
-            # (stats, next stages, user queries) don't recompute the whole
-            # upstream DAG per action. Materialization happens on first
-            # use; rows stay unknown here.
+            # in-memory run: persist AND materialize eagerly so (a) the
+            # many downstream actions never recompute the upstream DAG,
+            # (b) wall_s measures this stage's real compute, not plan
+            # construction, and (c) a later cache eviction can't silently
+            # re-run Python kernels mid-query.
             df = df.persist()
-            self.metrics.append(StageMetrics(stage, -1, time.perf_counter() - t0, -1, {}))
+            n = df.count()
+            self.metrics.append(StageMetrics(stage, n, time.perf_counter() - t0, -1, {}))
             return df
         d.parent.mkdir(parents=True, exist_ok=True)
         df.write.mode("overwrite").parquet(str(d))

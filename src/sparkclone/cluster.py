@@ -70,7 +70,11 @@ def connected_components(
                 x = parent[x]
             return parent.get(x, x)
 
-        for row in e.toLocalIterator():
+        # collect() in ONE job — toLocalIterator would fetch one partition
+        # per sequential job (shuffle_partitions round-trips of scheduler
+        # latency, catastrophic at high parallelism); <= small_graph_edges
+        # int64 pairs fit the driver comfortably.
+        for row in e.collect():
             u, v = row["u"], row["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)

@@ -54,7 +54,14 @@ def _ident(rng: random.Random, n: int = 2) -> str:
 
 def _py_function(rng: random.Random, name: str, idents: list[str], n_stmts: int = 10) -> str:
     """A function body whose token set is dominated by the given
-    identifiers — renaming a subset moves token-Jaccard predictably."""
+    identifiers — renaming a subset moves token-Jaccard predictably.
+
+    Numeric literals are rng-drawn per statement (not sequential): two
+    *different* functions must not share a long run of literals, or the
+    whole corpus acquires an artificial ~0.3 baseline token-Jaccard that
+    no real codebase exhibits (the reference's benchmark repos share only
+    keywords across unrelated functions). Clone families copy the SAME
+    rendered statements, so within-family similarity is unaffected."""
     lines = [f"def {name}({idents[0]}, {idents[1]}):"]
     lines.append(f'    """compute over {idents[0]}."""')
     lines.append(f"    {idents[2]} = 0")
@@ -62,7 +69,7 @@ def _py_function(rng: random.Random, name: str, idents: list[str], n_stmts: int 
         a = idents[3 + (i % (len(idents) - 3))]
         b = idents[3 + ((i + 1) % (len(idents) - 3))]
         op = ["+", "*", "-"][i % 3]
-        lines.append(f"    {a} = {idents[2]} {op} len({b}) {op} {i}")
+        lines.append(f"    {a} = {idents[2]} {op} len({b}) {op} {rng.randrange(100_000)}")
         lines.append(f"    {idents[2]} = {idents[2]} + {a}")
     lines.append(f"    return {idents[2]}")
     return "\n".join(lines)
@@ -86,8 +93,18 @@ def _text_block(rng: random.Random, n_lines: int) -> str:
 
 
 def generate_corpus_rows(
-    seed: int = 42, n_repos: int = 20, files_per_repo: int = 8
+    seed: int = 42,
+    n_repos: int = 20,
+    files_per_repo: int = 8,
+    stmt_lo: int = 6,
+    stmt_hi: int = 14,
 ) -> list[CorpusRow]:
+    """``stmt_lo``/``stmt_hi`` bound the statement count of the unique
+    (negative) files. The defaults produce small files for fast unit
+    tests; benchmarks pass larger bounds (e.g. 30..90 → ~60-180-line
+    files) so per-file work matches real source repositories — at 10^12
+    files the compute:coordination ratio is what the scaling criterion
+    actually measures."""
     rng = random.Random(seed)
     rows: list[CorpusRow] = []
     commits = {f"org{r % 5}/repo{r}": _commit(rng) for r in range(n_repos)}
@@ -134,7 +151,7 @@ def generate_corpus_rows(
     for i, repo in enumerate(repos):
         for j in range(files_per_repo - 3):
             uid = [_ident(rng) for _ in range(10)]
-            src = _py_function(rng, f"unique_{i}_{j}", uid, n_stmts=rng.randrange(6, 14)) + "\n"
+            src = _py_function(rng, f"unique_{i}_{j}", uid, n_stmts=rng.randrange(stmt_lo, stmt_hi)) + "\n"
             add(repo, f"src/unique_{j}.py", "python", src, "unique")
     add(repos[0], "empty/blank.py", "python", "   \n\n  \n", "junk")
     add(repos[1], "broken/bad.py", "python", "def broken(:\n    pass\n", "junk")

@@ -36,21 +36,58 @@ _N_SALT = 8
 
 
 def band_table(sigs: DataFrame, id_col: str = "snippet_id") -> DataFrame:
-    """(id, band_id, band_hash) — one row per band per signature row."""
+    """(id, [unit_key, s, e,] band_id, band_hash) — one row per band per
+    signature row. When the signature rows carry unit/span columns, a
+    compact unit key (xxhash64) and the span bounds ride along so pair
+    generation can drop same-unit overlapping-window pairs *before* the
+    dedupe shuffle and verification join — those pairs are discarded
+    unconditionally by the rollup overlap filter (reference
+    rollup.py:86-103), and sliding windows over one unit make them the
+    single largest pair class."""
+    extra = []
+    if "unit_id" in sigs.columns and "start_line" in sigs.columns:
+        extra = [
+            F.xxhash64("unit_id").alias("unit_key"),
+            F.col("start_line").alias("s"),
+            F.col("end_line").alias("e"),
+        ]
     return sigs.select(
         F.col(id_col).alias("id"),
+        *extra,
         F.posexplode("bands").alias("band_id", "band_hash"),
     )
 
 
-def _pairs_plain(bt: DataFrame) -> DataFrame:
-    a = bt.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a"))
-    b = bt.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_b"))
+def _same_unit_overlap(pref_a: str = "a", pref_b: str = "b"):
+    """Predicate: same unit AND line spans overlap (the reference's
+    is-self-clone-with-overlap drop, rollup.py:88-96)."""
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        (F.col(f"uk_{pref_a}") == F.col(f"uk_{pref_b}"))
+        & (
+            F.greatest(f"s_{pref_a}", f"s_{pref_b}")
+            <= F.least(f"e_{pref_a}", f"e_{pref_b}")
+        )
     )
+
+
+def _side_cols(bt: DataFrame, suffix: str) -> list:
+    cols = [F.col("id").alias(f"id_{suffix}")]
+    if "unit_key" in bt.columns:
+        cols += [
+            F.col("unit_key").alias(f"uk_{suffix}"),
+            F.col("s").alias(f"s_{suffix}"),
+            F.col("e").alias(f"e_{suffix}"),
+        ]
+    return cols
+
+
+def _pairs_plain(bt: DataFrame) -> DataFrame:
+    a = bt.select("band_id", "band_hash", *_side_cols(bt, "a"))
+    b = bt.select("band_id", "band_hash", *_side_cols(bt, "b"))
+    joined = a.join(b, ["band_id", "band_hash"]).where(F.col("id_a") < F.col("id_b"))
+    if "unit_key" in bt.columns:
+        joined = joined.where(~_same_unit_overlap())
+    return joined.select("id_a", "id_b")
 
 
 def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
@@ -59,33 +96,34 @@ def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
     partner blocks p <= s; the equi-join on (band, block_lo, block_hi)
     yields every unordered block pair exactly once, spreading one hot
     bucket across n_salt*(n_salt+1)/2 join keys."""
-    salted = bt.withColumn("s", F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int"))
+    salted = bt.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int"))
     left = salted.select(
         "band_id",
         "band_hash",
-        F.col("id").alias("id_a"),
-        F.col("s").alias("b_lo"),
-        F.explode(F.sequence(F.col("s"), F.lit(n_salt - 1))).alias("b_hi"),
+        *_side_cols(salted, "a"),
+        F.col("blk").alias("b_lo"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_salt - 1))).alias("b_hi"),
     )
     right = salted.select(
         "band_id",
         "band_hash",
-        F.col("id").alias("id_b"),
-        F.explode(F.sequence(F.lit(0), F.col("s"))).alias("b_lo"),
-        F.col("s").alias("b_hi"),
+        *_side_cols(salted, "b"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("b_lo"),
+        F.col("blk").alias("b_hi"),
     )
     # A pair's id order is independent of its block order: for block pair
     # (b_lo < b_hi) the left row may carry the lexically larger id, so
     # canonicalize with least/greatest rather than filtering id_a < id_b
     # (same-block pairs appear in both orientations and dedupe away in
     # candidate_pairs' dropDuplicates).
-    return (
-        left.join(right, ["band_id", "band_hash", "b_lo", "b_hi"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
+    joined = left.join(right, ["band_id", "band_hash", "b_lo", "b_hi"]).where(
+        F.col("id_a") != F.col("id_b")
+    )
+    if "unit_key" in bt.columns:
+        joined = joined.where(~_same_unit_overlap())
+    return joined.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
     )
 
 

@@ -185,7 +185,7 @@ def run_pipeline(
 
     def _verified() -> DataFrame:
         v = verify_pairs(attach_sides(pairs, signatures), cfg)
-        v = with_lcs_evidence(v, cfg)
+        v = with_lcs_evidence(v, cfg, signatures)
         return v.select(*_EDGE_COLS)
 
     verified = ck.load_or_compute("verified", _verified)

@@ -123,3 +123,48 @@ def jaccard_sets(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+def kmv_jaccard_est(ma: Column, mb: Column, k: int = 8) -> Column:
+    """Jaccard estimate from two k-minimum-values sketches (minhash_md5
+    columns): take the k smallest values of the sketch union, count how
+    many appear in both sketches. Standard KMV estimator — converges to
+    the exact Jaccard as k grows; portable to the SQL oracle because the
+    sketch is md5-based."""
+    u = F.slice(F.array_sort(F.array_union(ma, mb)), 1, k)
+    inter = F.size(
+        F.filter(u, lambda x: F.array_contains(ma, x) & F.array_contains(mb, x))
+    )
+    return F.when(F.size(u) == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / F.size(u).cast("double")
+    )
+
+
+def simhash16(df, id_col: str, text_col: str):
+    """16-bit SimHash per row, computed with JVM-side explode + groupBy
+    (codegen throughout — scale path is a plain aggregation on the id).
+
+    The bit source is the first 4 hex chars of md5(token) so the *same*
+    fingerprint is computable by the DuckDB oracle; the clone pipeline's
+    internal 64-bit SimHash (signatures.simhash_vector) is the xxhash64
+    fast twin of this construction. Majority vote per bit, ties -> clear;
+    empty token sets get simhash16 = 0.
+    """
+    toks = df.select(id_col, F.explode(distinct_tokens(F.col(text_col))).alias("t"))
+    v = F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    val: Column = F.lit(0)
+    for j in range(16):
+        val = val + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return (
+        df.select(id_col)
+        .join(votes, id_col, "left")
+        .select(id_col, F.coalesce(val, F.lit(0)).cast("long").alias("simhash16"))
+    )

@@ -14,9 +14,18 @@ Reference semantics preserved:
     ``least``.
 
 Everything except LCS stays JVM-side (array_intersect/array_union on
-pre-tokenized columns + bit_count for Hamming). LCS evidence is a batched
-``mapInPandas`` over only the pairs that already passed thresholds — the
-smallest possible Python surface.
+pre-hashed token columns + bit_count for Hamming). LCS evidence is a
+batched ``mapInPandas`` over only the SimHash-gated survivors of the
+threshold filter, with the normalized texts joined in just for that tiny
+subset — the smallest possible Python *and* shuffle surface.
+
+Scale note: the verification join deliberately carries ``token_hashes``
+(array<long>) instead of the string token arrays and does NOT carry
+``norm_text`` — at 10^12-file scale the pair join is the widest shuffle in
+the job and long-array Jaccard both shrinks the payload several-fold and
+compares faster than strings. Jaccard over distinct xxhash64 token hashes
+equals Jaccard over the tokens themselves up to 64-bit collisions
+(odds ~|tokens|^2/2^64 per pair — immaterial).
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ from sparkclone.normalize import jaccard_col
 
 _SIDE_COLS = [
     "unit_id", "path", "unit_start", "unit_end", "kind",
-    "start_line", "end_line", "tokens", "simhash", "norm_text",
+    "start_line", "end_line", "token_hashes", "simhash",
 ]
 
 
@@ -66,9 +75,17 @@ def verify_pairs(pairs_with_sides: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Score + filter candidate pairs. Input must carry *_a / *_b side
     columns (see attach_sides). Output keeps both sides' metadata plus
     jaccard / hamming / threshold columns."""
+    from sparkclone.rollup import filter_overlapping
+
     th = cfg.thresholds
+    # P7 semantics applied EARLY (rollup.py:86-112 drops these pairs
+    # unconditionally): same-unit overlapping spans and same-file
+    # overlapping units never survive rollup, so score nothing for them.
+    # rollup re-applies the same filter (needed for the star edges that
+    # bypass verification) — idempotent.
+    pairs_with_sides = filter_overlapping(pairs_with_sides)
     scored = pairs_with_sides.withColumn(
-        "jaccard", jaccard_col(F.col("tokens_a"), F.col("tokens_b"))
+        "jaccard", jaccard_col(F.col("token_hashes_a"), F.col("token_hashes_b"))
     ).withColumn(
         "hamming",
         F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
@@ -78,7 +95,7 @@ def verify_pairs(pairs_with_sides: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return scored.where(
         (F.col("jaccard") >= F.lit(th.lexical_min_ratio))
         & (F.col("jaccard") >= F.col("kind_threshold"))
-    )
+    ).drop("token_hashes_a", "token_hashes_b")
 
 
 # ---------------------------------------------------------------------------
@@ -146,42 +163,59 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return best
 
 
-def with_lcs_evidence(verified: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def with_lcs_evidence(
+    verified: DataFrame, cfg: PipelineConfig, snippets: DataFrame | None = None
+) -> DataFrame:
     """Append `lcs_chars` (longest common substring length over normalized
     texts, capped at lcs_max_chars per side) and `near_verbatim`
-    (SimHash Hamming <= radius)."""
-    if not cfg.lcs_evidence:
+    (SimHash Hamming <= radius).
+
+    ``snippets`` supplies ``(snippet_id, norm_text)``; the texts are joined
+    in ONLY for the SimHash-gated subset, so the wide text shuffle scales
+    with the number of near-verbatim pairs, not all verified pairs.
+    """
+    near = F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius)
+    if not cfg.lcs_evidence or snippets is None:
         return verified.withColumn("lcs_chars", F.lit(None).cast("int")).withColumn(
-            "near_verbatim",
-            F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius),
+            "near_verbatim", near
         )
     cap = cfg.lcs_max_chars
     # LCS evidence is for NEAR-VERBATIM clone spans (north_rule): only
     # pairs whose SimHash Hamming distance is within 2x the near radius
-    # get the Python suffix-automaton pass — everything else is a renamed/
-    # structural near-dup where a char-level LCS is meaningless. This
-    # bounds the Python surface to a small fraction of verified pairs.
-    gate = 2 * cfg.signature.simhash_near_radius
-    # note: StructType.add mutates in place — build a fresh StructType
-    out_schema = StructType(
-        list(verified.schema.fields) + [StructField("lcs_chars", IntegerType())]
+    # get the text join + Python suffix-automaton pass — everything else is
+    # a renamed/structural near-dup where a char-level LCS is meaningless.
+    gate = F.col("hamming") <= F.lit(2 * cfg.signature.simhash_near_radius)
+    gated = verified.where(gate)
+    rest = verified.where(~gate).withColumn("lcs_chars", F.lit(None).cast("int"))
+
+    texts = snippets.select("snippet_id", "norm_text")
+    gated = gated.join(
+        texts.select(
+            F.col("snippet_id").alias("id_a"), F.col("norm_text").alias("__text_a")
+        ),
+        "id_a",
+    ).join(
+        texts.select(
+            F.col("snippet_id").alias("id_b"), F.col("norm_text").alias("__text_b")
+        ),
+        "id_b",
     )
+    out_schema = StructType(
+        [f for f in gated.schema.fields if not f.name.startswith("__text_")]
+        + [StructField("lcs_chars", IntegerType())]
+    )
+    out_names = [f.name for f in out_schema.fields]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             batch = batch.copy()
             batch["lcs_chars"] = [
                 longest_common_substring_len((ta or "")[:cap], (tb or "")[:cap])
-                if ham is not None and ham <= gate
-                else None
-                for ta, tb, ham in zip(
-                    batch["norm_text_a"], batch["norm_text_b"], batch["hamming"]
-                )
+                for ta, tb in zip(batch["__text_a"], batch["__text_b"])
             ]
-            yield batch
+            yield batch[out_names]
 
-    with_lcs = verified.mapInPandas(compute, schema=out_schema)
-    return with_lcs.withColumn(
-        "near_verbatim",
-        F.col("hamming") <= F.lit(cfg.signature.simhash_near_radius),
+    with_lcs = gated.mapInPandas(compute, schema=out_schema)
+    return with_lcs.unionByName(rest.select(*out_names)).withColumn(
+        "near_verbatim", near
     )
