@@ -450,6 +450,24 @@ def _q_frame_sample_plan(spark, sf_dir):
     return frame_sample_plan(media, every_n=30)
 
 
+def _q_incremental_dup_pairs(spark, sf_dir):
+    """The reference's `diff` semantics (cli/commands/diff.py:62-68):
+    full candidate generation, then keep findings touching a CHANGED file
+    — changed-vs-all, not changed-vs-changed. Changed set here: every
+    7th doc (a deterministic stand-in for a git diff). Pair source:
+    the near-dup (token-Jaccard >= 0.5) candidates."""
+    pairs = _q_near_dup_pairs(spark, sf_dir)
+    changed = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("c")
+    )
+    touched = pairs.join(
+        F.broadcast(changed),
+        (F.col("doc_a") == F.col("c")) | (F.col("doc_b") == F.col("c")),
+        "left_semi",
+    )
+    return touched.select("doc_a", "doc_b")
+
+
 def _q_revenue_by_nation(spark, sf_dir):
     """TPC-H Q5-shaped multi-join: ASIA revenue by nation with local
     suppliers. Dims (region, nation, supplier) are broadcast; the only
@@ -528,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_dup_pairs": _q_char_ngram_dup_pairs,
         "media_features": _q_media_features,
         "frame_sample_plan": _q_frame_sample_plan,
+        "incremental_dup_pairs": _q_incremental_dup_pairs,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_parts": _q_top_parts,
         "pricing_summary": _q_pricing_summary,
@@ -701,6 +720,19 @@ def oracle_sql() -> dict[str, str]:
                         greatest(CAST(length(text) // 10 AS INT) - 1, 0), 30)] AS L
               FROM documents
             )
+        """,
+        "incremental_dup_pairs": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     {DTOKEN_SQL} AS toks,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1] AS mh1
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM m a JOIN m b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+              AND (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
         """,
         "revenue_by_nation": """
             SELECT n_name,
