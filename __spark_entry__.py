@@ -141,9 +141,13 @@ def _q_shingle_stats(spark, sf_dir):
 def _q_doc_minhash(spark, sf_dir):
     from sparkclone.textops import distinct_tokens, minhash_md5
 
+    # The sketch is an array; the driver's canonicalizer needs hashable
+    # cells, so serialize it to one comma-joined string column (the oracle
+    # mirrors with array_to_string).
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", minhash_md5(distinct_tokens(F.col("text")), 4).alias("minhash")
+        "doc_id",
+        F.concat_ws(",", minhash_md5(distinct_tokens(F.col("text")), 4)).alias("minhash"),
     )
 
 
@@ -168,7 +172,7 @@ def _q_near_dup_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id",
         distinct_tokens(F.col("text")).alias("toks"),
-        F.element_at(minhash_md5(distinct_tokens(F.col("text")), 1), 1).alias("mh1"),
+        F.try_element_at(minhash_md5(distinct_tokens(F.col("text")), 1), F.lit(1)).alias("mh1"),
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), "mh1")
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), "mh1")
@@ -339,7 +343,7 @@ def _q_simhash_hamming_pairs(spark, sf_dir):
     sh = simhash16(docs, "doc_id", "text")
     d = docs.select(
         "doc_id",
-        F.element_at(minhash_md5(distinct_tokens(F.col("text")), 1), 1).alias("mh1"),
+        F.try_element_at(minhash_md5(distinct_tokens(F.col("text")), 1), F.lit(1)).alias("mh1"),
     ).join(sh, "doc_id")
     a = d.select(F.col("doc_id").alias("doc_a"), "mh1", F.col("simhash16").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), "mh1", F.col("simhash16").alias("sb"))
@@ -371,13 +375,13 @@ def _q_kmv_jaccard_pairs(spark, sf_dir):
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("ta"),
         F.col("kmv").alias("ka"),
-        F.element_at("kmv", 1).alias("mh1"),
+        F.try_element_at("kmv", F.lit(1)).alias("mh1"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("tb"),
         F.col("kmv").alias("kb"),
-        F.element_at("kmv", 1).alias("mh1"),
+        F.try_element_at("kmv", F.lit(1)).alias("mh1"),
     )
     return (
         a.join(b, "mh1")
@@ -502,18 +506,50 @@ def _q_top_parts(spark, sf_dir):
     )
 
 
-# --- rows-only entries (not SQL-expressible; driver records weaker check) --
-
-
 def _q_clone_clusters_docs(spark, sf_dir):
-    from sparkclone.pipeline import run_pipeline
+    """Connected components (cluster.py, SURVEY A6) over the
+    oracle-checkable near-dup edge set that `near_dup_pairs` defines
+    (mh1-sharing candidates verified at token-set Jaccard >= 0.5).
+    Output: every document with the minimum doc_id reachable in its
+    component (itself when isolated) — label choice is representation-
+    independent, so any correct CC labeling produces these exact rows.
+    Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs.
+    """
+    from sparkclone.cluster import connected_components
+    from sparkclone.config import ClusterConfig
 
-    corpus = documents_as_corpus(_docs(spark, sf_dir))
-    out = run_pipeline(spark, corpus, _doc_pipeline_config())
-    return out["clusters"].select("unit_id", "cluster_id")
+    edges = _q_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("string").alias("ua"),
+        F.col("doc_b").cast("string").alias("ub"),
+    )
+    cc = connected_components(edges, ClusterConfig(), src="ua", dst="ub", dense_ids=False)
+    mem = cc.select(
+        F.col("unit_id").cast("long").alias("doc_id"), F.col("cluster_id").alias("lbl")
+    )
+    rep = mem.groupBy("lbl").agg(F.min("doc_id").alias("cluster_rep"))
+    clustered = mem.join(rep, "lbl").select("doc_id", "cluster_rep")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(clustered, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep")
+    )
 
 
 def _q_clone_cluster_sizes_docs(spark, sf_dir):
+    """Cluster-size counts (SURVEY A7) over the oracle-checked components
+    of `clone_clusters_docs`."""
+    cl = _q_clone_clusters_docs(spark, sf_dir)
+    return cl.groupBy("cluster_rep").agg(F.count("*").alias("member_count"))
+
+
+# --- rows-only entries (not SQL-expressible; driver records weaker check) --
+
+
+def _q_clone_pipeline_cluster_sizes(spark, sf_dir):
+    """Full near-duplicate pipeline end-to-end (extract -> collapse ->
+    MinHash/SimHash -> LSH -> verify -> rollup -> CC); rows-only by design
+    — the band-LSH + per-kind-threshold edge set is not SQL-expressible,
+    but the pipeline's cluster semantics are oracle-gated against the
+    actual reference binary in tests/test_oracle_recall.py."""
     from sparkclone.pipeline import run_pipeline
 
     corpus = documents_as_corpus(_docs(spark, sf_dir))
@@ -561,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_norms": _q_label_centroid_norms,
         "clone_clusters_docs": _q_clone_clusters_docs,
         "clone_cluster_sizes_docs": _q_clone_cluster_sizes_docs,
+        "clone_pipeline_cluster_sizes": _q_clone_pipeline_cluster_sizes,
         "srp_ann_top3": _q_srp_ann_top3,
     }
 
@@ -594,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash": f"""
             SELECT doc_id,
-                   list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1:4] AS minhash
+                   array_to_string(list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1:4], ',') AS minhash
             FROM documents
         """,
         "lsh_band_buckets": f"""
@@ -846,5 +883,50 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM embeddings e WHERE e.label = means.label) AS n_vecs,
                    round(sqrt(sum(m * m)), 4) AS centroid_norm
             FROM means GROUP BY label
+        """,
+        # CC oracle: full transitive closure (undirected reachability) over
+        # the same verified near-dup edge set near_dup_pairs defines; the
+        # component representative is the minimum reachable doc_id.
+        "clone_clusters_docs": f"""
+            WITH RECURSIVE m AS (
+              SELECT doc_id,
+                     {DTOKEN_SQL} AS toks,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1] AS mh1
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS s, b.doc_id AS d
+              FROM m a JOIN m b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+              WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+            ), und AS (
+              SELECT s, d FROM p UNION ALL SELECT d AS s, s AS d FROM p
+            ), reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.node, u.d FROM reach r JOIN und u ON u.s = r.lbl
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node
+        """,
+        "clone_cluster_sizes_docs": f"""
+            WITH RECURSIVE m AS (
+              SELECT doc_id,
+                     {DTOKEN_SQL} AS toks,
+                     list_sort(list_transform({DTOKEN_SQL}, x -> md5(x)))[1] AS mh1
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS s, b.doc_id AS d
+              FROM m a JOIN m b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+              WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+            ), und AS (
+              SELECT s, d FROM p UNION ALL SELECT d AS s, s AS d FROM p
+            ), reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.node, u.d FROM reach r JOIN und u ON u.s = r.lbl
+            )
+            SELECT cluster_rep, CAST(count(*) AS BIGINT) AS member_count FROM (
+              SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node
+            ) GROUP BY cluster_rep
         """,
     }

@@ -43,7 +43,17 @@ def band_table(sigs: DataFrame, id_col: str = "snippet_id") -> DataFrame:
     dedupe shuffle and verification join — those pairs are discarded
     unconditionally by the rollup overlap filter (reference
     rollup.py:86-103), and sliding windows over one unit make them the
-    single largest pair class."""
+    single largest pair class.
+
+    Collision asymmetry (accepted, documented): unit_key is xxhash64 of
+    unit_id, so a 64-bit collision between two distinct units whose
+    snippets ALSO have overlapping line spans would drop a true candidate
+    pair that rollup (comparing real unit_id) would have kept — a recall
+    loss, unlike the CC hashing where collisions only merge clusters.
+    Odds ~n_units^2/2^64 with the extra requirement of span overlap;
+    carrying the full unit_id string through the band explode would widen
+    the job's biggest shuffle for every row to guard against odds that are
+    immaterial below ~10^8 units."""
     extra = []
     if "unit_id" in sigs.columns and "start_line" in sigs.columns:
         extra = [
@@ -137,10 +147,15 @@ def candidate_pairs(
     fed to the `_metrics` sink so silently-dropped hot buckets are visible.
     """
     bt = band_table(sigs, id_col)
+    # sizes is consumed twice (routing join + bucket_stats) and is tiny
+    # (one row per non-singleton bucket): persist so materializing pairs
+    # also materializes it and the stats aggregation is a cache scan, not
+    # a second band-table explode.
     sizes = (
         bt.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("bsize"))
         .where(F.col("bsize") >= 2)
+        .persist()
     )
     cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
     routed = bt.join(sizes, ["band_id", "band_hash"])  # drops singleton buckets

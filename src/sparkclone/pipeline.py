@@ -176,12 +176,19 @@ def run_pipeline(
     reps, star_edges = collapse_exact(snippets)
     signatures = ck.load_or_compute("signatures", lambda: with_signatures(reps, cfg.signature))
 
-    def _pairs() -> DataFrame:
-        p, _stats = candidate_pairs(signatures, cfg.lsh)
-        return p
+    # Single invocation of candidate_pairs feeds BOTH checkpointed stages:
+    # bucket_stats derives from the (persisted) bucket-size aggregate the
+    # pair routing itself uses, so the band table is computed once per run
+    # — and zero times on resume, when both stages load from parquet.
+    _cp: dict[str, tuple[DataFrame, DataFrame]] = {}
 
-    pairs = ck.load_or_compute("candidate_pairs", _pairs)
-    _, bucket_stats = candidate_pairs(signatures, cfg.lsh)
+    def _pairs_and_stats() -> tuple[DataFrame, DataFrame]:
+        if "r" not in _cp:
+            _cp["r"] = candidate_pairs(signatures, cfg.lsh)
+        return _cp["r"]
+
+    pairs = ck.load_or_compute("candidate_pairs", lambda: _pairs_and_stats()[0])
+    bucket_stats = ck.load_or_compute("bucket_stats", lambda: _pairs_and_stats()[1])
 
     def _verified() -> DataFrame:
         v = verify_pairs(attach_sides(pairs, signatures), cfg)

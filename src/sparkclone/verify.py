@@ -184,7 +184,14 @@ def with_lcs_evidence(
     # pairs whose SimHash Hamming distance is within 2x the near radius
     # get the text join + Python suffix-automaton pass — everything else is
     # a renamed/structural near-dup where a char-level LCS is meaningless.
-    gate = F.col("hamming") <= F.lit(2 * cfg.signature.simhash_near_radius)
+    # coalesce makes the split exhaustive: a NULL hamming (edges produced
+    # without simhash) routes to `rest` with lcs_chars NULL instead of
+    # silently vanishing from both branches. persist() materializes the
+    # verification lineage once instead of once per branch of the union.
+    verified = verified.persist()
+    gate = F.coalesce(
+        F.col("hamming") <= F.lit(2 * cfg.signature.simhash_near_radius), F.lit(False)
+    )
     gated = verified.where(gate)
     rest = verified.where(~gate).withColumn("lcs_chars", F.lit(None).cast("int"))
 
