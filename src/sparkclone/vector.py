@@ -97,35 +97,53 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine self-join: candidates share an SRP bucket
     in at least one of ``n_tables`` independent hash tables (collision
     prob per plane = 1 - theta/pi; multiple tables trade candidate volume
     for recall exactly like LSH band count), then exact cosine + window
     rank within candidates. The cross join is replaced by bucket
-    equi-joins — the 100 TB-viable plan."""
-    dim = len(df.select(vec_col).first()[0])
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    equi-joins — the 100 TB-viable plan.
+
+    Shuffle discipline: the bucket self-join and the dedupe of pairs seen
+    in multiple tables carry ONLY (table, bucket, id) / (query_id,
+    neighbor_id) — never the vectors. A pair colliding in up to n_tables
+    tables would otherwise drag 2*dim floats through the widest shuffle
+    n_tables times; instead the embeddings are joined back exactly once,
+    to the already-deduped slim pair list, for scoring.
+
+    Pass ``dim`` when known (schema/metadata source); the fallback infers
+    it with a driver-side first() — one extra tiny job, fine interactively,
+    avoidable in production pipelines.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucket_cols = []
     for t in range(n_tables):
         planes = _srp_hyperplanes(dim, n_planes, seed + 7919 * t)
         bucket_cols.append(srp_bucket(F.col("v"), planes).alias(f"b{t}"))
-    b = b.select("id", "v", *bucket_cols)
-    # one row per (table, bucket): explode the table buckets, qualify the
-    # bucket key with the table index so tables don't cross-match
-    tb = b.select(
+    # one row per (table, bucket), ids only: explode the table buckets,
+    # qualify the bucket key with the table index so tables don't
+    # cross-match
+    tb = base.select(
         "id",
-        "v",
-        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
-            "table", "bucket"
-        ),
+        F.posexplode(F.array(*bucket_cols)).alias("table", "bucket"),
     )
-    left = tb.select("table", "bucket", F.col("id").alias("query_id"), F.col("v").alias("__qv"))
-    right = tb.select("table", "bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"))
-    scored = (
+    left = tb.select("table", "bucket", F.col("id").alias("query_id"))
+    right = tb.select("table", "bucket", F.col("id").alias("neighbor_id"))
+    cand = (
         left.join(right, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qv = base.select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    cv = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,61 @@
+"""SRP ANN (vector.srp_topk) — the scale path must be the verified one:
+recall@3 gated against the exact brute-force baseline, and the multi-table
+pair dedupe must shuffle slim id pairs, never the embedding vectors."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Must match __spark_entry__._q_srp_ann_top3 so the gate covers the
+# driver-recorded query configuration.
+SRP_PARAMS = dict(k=3, n_planes=3, n_tables=12, seed=42, dim=64)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_srp_recall_at_3_vs_exact(spark, embeddings):
+    from sparkclone.vector import brute_force_topk, srp_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, embeddings, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_topk(embeddings, **SRP_PARAMS).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SRP recall@3 {recall:.4f} < 0.9"
+
+
+def test_srp_dedupe_shuffles_ids_only(spark, embeddings):
+    """The dedupe of pairs colliding in multiple tables must aggregate on
+    the slim (query_id, neighbor_id) pair — the optimized plan's
+    Deduplicate/Aggregate node must not carry the vector columns."""
+    from sparkclone.vector import srp_topk
+
+    df = srp_topk(embeddings, **SRP_PARAMS)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    dedup_lines = [
+        line
+        for line in plan.splitlines()
+        if "Deduplicate" in line or "Aggregate [query_id" in line
+    ]
+    assert dedup_lines, f"no dedupe node found in plan:\n{plan}"
+    for line in dedup_lines:
+        assert "__qv" not in line and "__cv" not in line and "v#" not in line, (
+            f"dedupe carries vectors: {line}"
+        )
+
+
+def test_srp_explicit_dim_matches_inferred(spark, embeddings):
+    from sparkclone.vector import srp_topk
+
+    explicit = srp_topk(embeddings, **SRP_PARAMS).collect()
+    inferred = srp_topk(embeddings, **{**SRP_PARAMS, "dim": None}).collect()
+    assert sorted(map(tuple, explicit)) == sorted(map(tuple, inferred))
