@@ -1,110 +1,230 @@
-"""spark-submit entry point (the ``clonehunter scan`` analogue).
+"""spark-submit CLI: ``scan`` and ``diff`` (the ``clonehunter scan/diff``
+analogues, cli/main.py:50-183).
 
-Reference CLI surface (cli/main.py:50-134, cli/commands/scan.py:77-185):
-paths + config flags -> scan -> report in json/html/sarif. Ours takes the
-corpus table path instead of filesystem paths (the engine's input is the
-Iceberg-shaped table, input_hint), plus the same knobs: window geometry,
-thresholds, cluster min-size, include/exclude globs, report format.
+Configuration layering matches the reference (cli/commands/scan.py:106-185):
+
+    defaults < pyproject [tool.sparkclone] (nearest to the corpus path, or
+    --config-root) < CLI flags
+
+with repotype glob presets merged first and explicit CLI globs merged
+CLI-wins on top (scan.py:188-226). The corpus is the Iceberg-shaped table
+(input_hint), not filesystem paths.
 
 Usage:
-    spark-submit --py-files sparkclone.zip -m ... src/sparkclone/cli.py \
-        --corpus /data/corpus.parquet --out findings.json --format json \
-        --window-lines 12 --stride-lines 6 --min-nonempty 4 \
-        --checkpoint-dir /tmp/ck --output-tables /tmp/out
+    spark-submit --py-files sparkclone.zip src/sparkclone/cli.py scan \
+        --corpus /data/corpus.parquet --repotype python --format json
+    spark-submit ... cli.py diff --corpus new.parquet --base-corpus old.parquet
+
+Engine selection: ``--engine sonarqube`` (or TOML ``engine``) switches to
+the SonarQube report importer (S4) — set --sonar-report or
+SPARKCLONE_SONAR_REPORT.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+from pathlib import Path
+
+
+def _add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--corpus", required=True, help="corpus parquet/Iceberg path")
+    p.add_argument("--out", default=None, help="report output path (default findings.<fmt>)")
+    p.add_argument("--format", choices=["json", "html", "sarif"], default="json")
+    p.add_argument("--engine", choices=["semantic", "sonarqube"], default=None)
+    p.add_argument("--sonar-report", default=None, help="SonarQube duplications JSON")
+    p.add_argument("--config-root", default=None, help="directory whose pyproject.toml configures the scan")
+    p.add_argument("--repotype", action="append", default=None, help="glob preset (repeatable; default monorepo)")
+    p.add_argument("--include", action="append", default=[], help="include glob (repeatable, wins over config)")
+    p.add_argument("--exclude", action="append", default=[], help="exclude glob (repeatable, wins over config)")
+    p.add_argument("--window-lines", type=int, default=None)
+    p.add_argument("--stride-lines", type=int, default=None)
+    p.add_argument("--min-nonempty", type=int, default=None)
+    p.add_argument("--func-threshold", type=float, default=None)
+    p.add_argument("--win-threshold", type=float, default=None)
+    p.add_argument("--exp-threshold", type=float, default=None)
+    p.add_argument("--min-window-hits", type=int, default=None)
+    p.add_argument("--lexical-min-ratio", type=float, default=None)
+    p.add_argument("--expand-calls", action="store_true", help="enable EXP call-expansion snippets")
+    p.add_argument("--expand-depth", type=int, default=None)
+    p.add_argument("--expand-max-chars", type=int, default=None)
+    p.add_argument("--cluster", action=argparse.BooleanOptionalAction, default=None,
+                   help="apply cluster min-size filtering to reported findings")
+    p.add_argument("--cluster-min-size", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--output-tables", default=None, help="directory for findings/clusters parquet")
+    p.add_argument("--top-n", type=int, default=1000, help="findings in the report")
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sparkclone", description="PySpark near-duplicate code scanner")
-    p.add_argument("--corpus", required=True, help="corpus parquet/Iceberg path")
-    p.add_argument("--out", default="findings.json", help="report output path")
-    p.add_argument("--format", choices=["json", "html", "sarif"], default="json")
-    p.add_argument("--include", action="append", default=[], help="include glob (repeatable)")
-    p.add_argument("--exclude", action="append", default=[], help="exclude glob (repeatable)")
-    p.add_argument("--window-lines", type=int, default=40)
-    p.add_argument("--stride-lines", type=int, default=6)
-    p.add_argument("--min-nonempty", type=int, default=4)
-    p.add_argument("--func-threshold", type=float, default=0.92)
-    p.add_argument("--win-threshold", type=float, default=0.90)
-    p.add_argument("--min-window-hits", type=int, default=1)
-    p.add_argument("--lexical-min-ratio", type=float, default=0.5)
-    p.add_argument("--cluster-min-size", type=int, default=2)
-    p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--output-tables", default=None, help="directory for findings/clusters parquet")
-    p.add_argument("--top-n", type=int, default=1000, help="findings in the report")
+    sub = p.add_subparsers(dest="command")
+    scan = sub.add_parser("scan", help="full corpus scan")
+    _add_common_args(scan)
+    diff = sub.add_parser("diff", help="scan + keep findings touching files changed vs a base snapshot")
+    _add_common_args(diff)
+    diff.add_argument("--base-corpus", required=True, help="previous corpus snapshot (parquet)")
     return p
 
 
+def _cli_overrides(args: argparse.Namespace) -> dict:
+    """Only flags the user actually passed become overrides, so TOML
+    values survive unless explicitly overridden (CLI-wins layering)."""
+    ov: dict = {}
+    if args.engine:
+        ov["engine"] = args.engine
+    windows = {
+        k: v
+        for k, v in (
+            ("window_lines", args.window_lines),
+            ("stride_lines", args.stride_lines),
+            ("min_nonempty", args.min_nonempty),
+        )
+        if v is not None
+    }
+    if windows:
+        ov["windows"] = windows
+    thresholds = {
+        k: v
+        for k, v in (
+            ("func", args.func_threshold),
+            ("win", args.win_threshold),
+            ("exp", args.exp_threshold),
+            ("min_window_hits", args.min_window_hits),
+            ("lexical_min_ratio", args.lexical_min_ratio),
+        )
+        if v is not None
+    }
+    if thresholds:
+        ov["thresholds"] = thresholds
+    if args.expand_calls or args.expand_depth is not None or args.expand_max_chars is not None:
+        exp: dict = {"enabled": True}
+        if args.expand_depth is not None:
+            exp["depth"] = args.expand_depth
+        if args.expand_max_chars is not None:
+            exp["max_chars"] = args.expand_max_chars
+        ov["expansion"] = exp
+    if args.cluster is not None:
+        ov["cluster_findings"] = args.cluster
+    if args.cluster_min_size is not None:
+        ov["cluster_min_size"] = args.cluster_min_size
+    if args.checkpoint_dir:
+        ov["checkpoint_dir"] = args.checkpoint_dir
+    return ov
+
+
+def _resolve_settings(args: argparse.Namespace):
+    from sparkclone.config_loader import (
+        effective_repotypes,
+        load_settings,
+        merge_globs,
+        resolve_config_root,
+        resolve_repotype_globs,
+    )
+
+    root = Path(args.config_root) if args.config_root else resolve_config_root([args.corpus])
+    settings = load_settings(root, _cli_overrides(args))
+    rt_inc, rt_exc = resolve_repotype_globs(effective_repotypes(args.repotype))
+    inc, exc = merge_globs(settings.include_globs, settings.exclude_globs, rt_inc, rt_exc)
+    inc, exc = merge_globs(inc, exc, args.include, args.exclude)
+    return settings, inc, exc
+
+
+def _write_report(args, findings, stats, config_snapshot, timing, out_path) -> None:
+    from sparkclone.report import write_html_report, write_json_report, write_sarif_report
+
+    if args.format == "json":
+        write_json_report(findings, stats=stats, config_snapshot=config_snapshot,
+                          timing=timing, out_path=out_path, top_n=args.top_n)
+    elif args.format == "html":
+        write_html_report(findings, out_path, top_n=args.top_n)
+    else:
+        write_sarif_report(findings, out_path, top_n=args.top_n)
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    # Backward-compatible flags-only invocation == `scan`.
+    if argv and argv[0].startswith("-"):
+        argv = ["scan", *argv]
     args = build_parser().parse_args(argv)
+    if args.command is None:
+        build_parser().print_help()
+        return 2
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("sparkclone-scan").getOrCreate()
+    spark = SparkSession.builder.appName(f"sparkclone-{args.command}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from sparkclone.config import (
-        ClusterConfig,
-        PipelineConfig,
-        Thresholds,
-        WindowConfig,
-    )
+    settings, include_globs, exclude_globs = _resolve_settings(args)
+    out_path = args.out or f"findings.{args.format}"
+    t0 = time.perf_counter()
+
+    if settings.engine == "sonarqube":
+        from sparkclone.sonarqube import import_sonarqube_report
+
+        report = (args.sonar_report or os.environ.get("SPARKCLONE_SONAR_REPORT", "")).strip()
+        if not report:
+            raise SystemExit(
+                "SonarQube engine is not configured. Pass --sonar-report or set "
+                "SPARKCLONE_SONAR_REPORT to a JSON file."
+            )
+        findings = import_sonarqube_report(spark, report)
+        stats = {"finding_count": findings.count()}
+        timing = {"total": round(time.perf_counter() - t0, 3)}
+        _write_report(args, findings, stats, {"engine": "sonarqube"}, timing, out_path)
+        print(json.dumps({"stats": stats, "timing": timing, "report": out_path}))
+        return 0
+
     from sparkclone.globs import filter_corpus
     from sparkclone.pipeline import load_corpus, run_pipeline
-    from sparkclone.report import write_html_report, write_json_report, write_sarif_report
 
-    cfg = PipelineConfig(
-        windows=WindowConfig(args.window_lines, args.stride_lines, args.min_nonempty),
-        thresholds=Thresholds(
-            func=args.func_threshold,
-            win=args.win_threshold,
-            min_window_hits=args.min_window_hits,
-            lexical_min_ratio=args.lexical_min_ratio,
-        ),
-        cluster=ClusterConfig(min_size=args.cluster_min_size),
-    )
-
-    t0 = time.perf_counter()
+    cfg = settings.pipeline
     corpus = load_corpus(spark, args.corpus)
-    if args.include or args.exclude:
-        corpus = filter_corpus(corpus, args.include, args.exclude)
-    out = run_pipeline(spark, corpus, cfg, checkpoint_dir=args.checkpoint_dir)
+    if include_globs or exclude_globs:
+        corpus = filter_corpus(corpus, include_globs, exclude_globs)
+    checkpoint_dir = args.checkpoint_dir or settings.checkpoint_dir
 
-    findings = out["findings_clustered"]
-    stats = {
-        "file_count": corpus.count(),
-        "snippet_count": out["snippets"].count(),
-        "candidate_count": out["candidate_pairs"].count(),
-        "finding_count": findings.count(),
-        "cluster_count": out["clusters"].select("cluster_id").distinct().count(),
-    }
+    if args.command == "diff":
+        from sparkclone.incremental import incremental_scan
+
+        base = load_corpus(spark, args.base_corpus)
+        if include_globs or exclude_globs:
+            base = filter_corpus(base, include_globs, exclude_globs)
+        out = incremental_scan(spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir)
+        findings = out["diff_findings"]
+        stats = {
+            "file_count": corpus.count(),
+            "changed_file_count": out["changed_files"].count(),
+            "snippet_count": out["snippets"].count(),
+            "candidate_count": out["candidate_pairs"].count(),
+            "finding_count": findings.count(),
+        }
+    else:
+        out = run_pipeline(spark, corpus, cfg, checkpoint_dir=checkpoint_dir)
+        findings = out["findings_clustered"] if settings.cluster_findings else out["findings"]
+        stats = {
+            "file_count": corpus.count(),
+            "snippet_count": out["snippets"].count(),
+            "candidate_count": out["candidate_pairs"].count(),
+            "finding_count": findings.count(),
+            "cluster_count": out["clusters"].select("cluster_id").distinct().count(),
+        }
     timing = {"total": round(time.perf_counter() - t0, 3)}
 
     if args.output_tables:
         findings.write.mode("overwrite").parquet(f"{args.output_tables}/findings")
         out["clusters"].write.mode("overwrite").parquet(f"{args.output_tables}/clusters")
 
-    if args.format == "json":
-        write_json_report(
-            findings,
-            stats=stats,
-            config_snapshot={"config_hash": cfg.config_hash()},
-            timing=timing,
-            out_path=args.out,
-            top_n=args.top_n,
-        )
-    elif args.format == "html":
-        write_html_report(findings, args.out, top_n=args.top_n)
-    else:
-        write_sarif_report(findings, args.out, top_n=args.top_n)
-
-    print(json.dumps({"stats": stats, "timing": timing, "report": args.out}))
+    _write_report(
+        args, findings, stats, {"config_hash": cfg.config_hash()}, timing, out_path
+    )
+    print(json.dumps({"stats": stats, "timing": timing, "report": out_path}))
     return 0
 
 

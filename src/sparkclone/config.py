@@ -98,6 +98,20 @@ class LshConfig:
 
 
 @dataclass(frozen=True)
+class ExpansionConfig:
+    """Call-expansion (EXP) snippet parameters — reference
+    ``core/config.py:14-18`` (off by default there too). When enabled,
+    each Python function snippet gains an EXP variant whose text appends
+    the bodies of called helper functions resolved over a BFS of
+    ``depth`` hops, capped at ``max_chars`` (snippets/expansion.py:21-75).
+    """
+
+    enabled: bool = False
+    depth: int = 1
+    max_chars: int = 4000
+
+
+@dataclass(frozen=True)
 class ClusterConfig:
     """Connected-components / cluster filter parameters
     (reference ``core/config.py:102-103`` + ``similarity/clustering.py``)."""
@@ -119,6 +133,7 @@ class PipelineConfig:
     signature: SignatureConfig = field(default_factory=SignatureConfig)
     lsh: LshConfig = field(default_factory=LshConfig)
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    expansion: ExpansionConfig = field(default_factory=ExpansionConfig)
     # Compute suffix-automaton longest-common-substring evidence for
     # verified pairs (north_rule: "suffix-array substring matching for
     # near-verbatim clone spans"). Python-side per verified pair; can be

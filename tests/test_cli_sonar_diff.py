@@ -1,0 +1,132 @@
+"""CLI surface: TOML config layering, repotype preset filtering, the
+diff subcommand (changed-vs-all semantics, reference test_diff_e2e.py),
+and the SonarQube report importer (reference test_sonarqube_engine.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_rows_mod():
+    from sparkclone.corpus import generate_corpus_rows
+
+    return generate_corpus_rows()
+
+
+def test_sonarqube_import_reads_report(spark, tmp_path):
+    from sparkclone.sonarqube import import_sonarqube_report
+
+    report = {
+        "duplications": [
+            {
+                "a": {"path": "a.py", "start": 1, "end": 2, "code": "pass", "name": "a"},
+                "b": {"path": "b.py", "start": 1, "end": 2, "code": "pass", "name": "b"},
+            },
+            # side with empty payload is skipped (reference _to_function)
+            {"a": {}, "b": {"path": "c.py"}},
+            # missing numerics default to start=1, end=start
+            {"a": {"path": "d.py"}, "b": {"path": "e.py", "start": "x", "end": "7"}},
+        ]
+    }
+    p = tmp_path / "report.json"
+    p.write_text(json.dumps(report), encoding="utf-8")
+    rows = {r["unit_a"]: r for r in import_sonarqube_report(spark, str(p)).collect()}
+    assert len(rows) == 2
+    first = rows["a.py:a:1:2"]
+    assert first["score"] == 1.0
+    assert first["duplicated_lines"] == 2
+    assert list(first["reasons"]) == ["sonarqube"]
+    dflt = rows["d.py:d.py:1:1"]
+    assert dflt["unit_b"] == "e.py:e.py:1:7"
+    assert dflt["duplicated_lines"] == 1  # min(span(d)=1, span(e)=7)
+
+
+def test_cli_sonarqube_engine(spark, tmp_path, monkeypatch):
+    from sparkclone.cli import main
+
+    report = {
+        "duplications": [
+            {
+                "a": {"path": "a.py", "start": 1, "end": 4, "name": "a"},
+                "b": {"path": "b.py", "start": 10, "end": 12, "name": "b"},
+            }
+        ]
+    }
+    (tmp_path / "report.json").write_text(json.dumps(report), encoding="utf-8")
+    out = tmp_path / "sonar_findings.json"
+    rc = main([
+        "scan", "--corpus", "unused.parquet", "--engine", "sonarqube",
+        "--sonar-report", str(tmp_path / "report.json"), "--out", str(out),
+        "--config-root", str(tmp_path),
+    ])
+    assert rc == 0
+    payload = json.loads(out.read_text())
+    assert payload["stats"]["finding_count"] == 1
+    assert payload["findings"][0]["duplicated_lines"] == 3
+
+
+def test_cli_scan_repotype_and_toml(spark, corpus_parquet, corpus_rows_mod, tmp_path):
+    """--repotype python keeps only **/*.py paths; a pyproject.toml at
+    --config-root feeds the pipeline (cluster_min_size=999 kills every
+    clustered finding)."""
+    from sparkclone.cli import main
+
+    out = tmp_path / "r.json"
+    rc = main([
+        "scan", "--corpus", corpus_parquet, "--repotype", "python",
+        "--out", str(out), "--config-root", str(tmp_path),
+    ])
+    assert rc == 0
+    payload = json.loads(out.read_text())
+    n_py = sum(1 for r in corpus_rows_mod if r.path.endswith(".py"))
+    assert payload["stats"]["file_count"] == n_py
+    assert payload["stats"]["finding_count"] > 0
+
+    (tmp_path / "pyproject.toml").write_text(
+        "[tool.sparkclone]\ncluster_min_size = 999\n", encoding="utf-8"
+    )
+    out2 = tmp_path / "r2.json"
+    rc = main([
+        "scan", "--corpus", corpus_parquet, "--repotype", "python",
+        "--out", str(out2), "--config-root", str(tmp_path),
+    ])
+    assert rc == 0
+    assert json.loads(out2.read_text())["stats"]["finding_count"] == 0
+
+
+def test_cli_diff_changed_vs_all(spark, corpus_rows_mod, tmp_path):
+    """Base snapshot lacks one exact-dup member; diff must report ONLY
+    findings touching that file, and must find its pairing with the
+    unchanged copies (changed-vs-all, not changed-vs-changed)."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    changed_path = None
+    base_rows = []
+    for r in corpus_rows_mod:
+        if r.family == "exact" and changed_path is None:
+            changed_path = f"{r.repo}/{r.path}"
+            continue
+        base_rows.append(r)
+    assert changed_path is not None
+
+    new_pq = str(tmp_path / "new.parquet")
+    old_pq = str(tmp_path / "old.parquet")
+    rows_to_parquet(corpus_rows_mod, new_pq)
+    rows_to_parquet(base_rows, old_pq)
+
+    out = tmp_path / "diff.json"
+    rc = main([
+        "diff", "--corpus", new_pq, "--base-corpus", old_pq,
+        "--repotype", "none", "--out", str(out), "--config-root", str(tmp_path),
+        "--window-lines", "12",
+    ])
+    assert rc == 0
+    payload = json.loads(out.read_text())
+    assert payload["stats"]["changed_file_count"] == 1
+    assert payload["stats"]["finding_count"] > 0
+    for f in payload["findings"]:
+        assert changed_path in (f["path_a"], f["path_b"])
