@@ -1,0 +1,679 @@
+"""EXP call-expansion snippets (SURVEY U6; reference
+snippets/expansion.py:21-143, resolver :160-501).
+
+Reference semantics: for every Python function, BFS to ``depth`` hops over
+its call graph; each resolvable call target's body is appended as
+``\\n\\n# expanded:{qname}\\n{code}`` unless that would exceed
+``max_chars``; functions that gained >= 1 helper emit one EXP snippet
+whose text is ``normalize_source(expanded)``. Call resolution tiers
+(expansion.py:198-248):
+
+  name  -> local short-name map, else ``from M import f`` alias into M's
+           short-name map;
+  attr  -> ``self``/``cls`` into the enclosing class, else a local
+           variable whose class is known (constructor call, factory
+           return, annotation — locally or through imports), else a
+           module alias into that module's short-name map;
+  ctor  -> ``C(...).m`` with C a local class or an imported class alias.
+
+Spark-first decomposition (NOT a port of the reference's in-memory maps):
+
+  1. one narrow ``mapInPandas`` over Python corpus rows emits per-file
+     FACTS: functions, class names, factory returns, imports (with
+     module->path candidates precomputed from the importing file's dir),
+     locally-resolvable call edges (already (caller_uid, helper_uid)),
+     and cross-file call sites tagged with their resolution shape;
+  2. imports resolve to files via equi-joins (exact candidate paths,
+     then an ``_matches_module_path``-style suffix join, same-repo);
+  3. cross-file call sites resolve through 3 join shapes against the
+     target file's short-name / qualified-name / factory tables;
+  4. BFS = ``depth`` rounds of edge self-joins with an anti-join visited
+     set (the CC-loop pattern, depth is 1-2 so rounds are bounded);
+  5. assembly = ``collect_list`` + a JVM ``aggregate`` fold that applies
+     the cumulative ``max_chars`` cap — no Python in the hot fold.
+
+Documented deviations from the reference (all invisible to the
+token-set-Jaccard score, which is order-insensitive):
+  - helper append order is deterministic (hop, then qualified name); the
+    reference's order comes from iterating a Python set of CallRefs,
+    which is hash-seed dependent;
+  - a helper skipped by the max_chars cap still has its callees visited
+    at depth >= 2 (the reference stops traversing skipped helpers);
+  - module lookups resolve by the joined file path directly; the
+    reference re-resolves through a global basename map, so duplicate
+    basenames can cross-talk there (expansion.py:528-537).
+Faithfully preserved quirks: indented method code fails ast.parse, so
+methods contribute no calls and no variable-class map (the reference
+parses ``fn.code`` as-is); import scanning reads only module-top-level
+statements; ``# expanded:`` markers survive only when the concatenated
+text fails to re-parse (normalize_source returns broken input unchanged).
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sparkclone.config import ExpansionConfig, WindowConfig
+from sparkclone.extract import PYTHON_LANGS, SNIPPET_SCHEMA, _extract_python_units
+from sparkclone.normalize import normalize_source
+
+_FN = StructType(
+    [
+        StructField("idx", IntegerType()),
+        StructField("qname", StringType()),
+        StructField("short", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("code", StringType()),
+        StructField("code_hash", StringType()),
+    ]
+)
+_IMPORT = StructType(
+    [
+        StructField("alias", StringType()),
+        StructField("orig", StringType()),  # imported name (None for `import M`)
+        StructField("is_module", StringType()),  # 'y'/'n' (stable vs Arrow bool quirks)
+        StructField("cand1", StringType()),
+        StructField("cand2", StringType()),
+        StructField("suffix1", StringType()),
+        StructField("suffix2", StringType()),
+    ]
+)
+_LOCAL_EDGE = StructType(
+    [StructField("caller_uid", StringType()), StructField("helper_uid", StringType())]
+)
+_CROSS = StructType(
+    [
+        StructField("caller_uid", StringType()),
+        StructField("shape", StringType()),  # L1_orig | L1_method | L2_class | L2_factory
+        StructField("alias", StringType()),
+        StructField("fname", StringType()),  # factory func for L2_factory via module alias
+        StructField("method", StringType()),
+    ]
+)
+_FACTORY = StructType([StructField("fn", StringType()), StructField("cls", StringType())])
+
+FACTS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),  # repo-qualified fpath
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("functions", ArrayType(_FN)),
+        StructField("class_names", ArrayType(StringType())),
+        StructField("factories", ArrayType(_FACTORY)),
+        StructField("imports", ArrayType(_IMPORT)),
+        StructField("local_edges", ArrayType(_LOCAL_EDGE)),
+        StructField("cross_calls", ArrayType(_CROSS)),
+    ]
+)
+
+
+def _sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def _module_candidates(dir_path: str, module: str, level: int) -> tuple[str, str, str, str]:
+    """(exact .py candidate, exact __init__ candidate, suffix key, suffix
+    __init__ key) for a dotted module imported from a file in dir_path
+    (repo-qualified). Mirrors _resolve_local_module + _matches_module_path."""
+    base = dir_path
+    for _ in range(max(0, level)):
+        base = base.rsplit("/", 1)[0] if "/" in base else base
+    parts = module.split(".")
+    rel = "/".join(parts)
+    cand1 = f"{base}/{rel}.py" if base else f"{rel}.py"
+    cand2 = f"{base}/{rel}/__init__.py" if base else f"{rel}/__init__.py"
+    return cand1, cand2, f"{rel}.py", f"{rel}/__init__.py"
+
+
+def _collect_calls(source: str) -> list[tuple[str, str | None, str]]:
+    """(kind, base, name) call refs; [] on parse failure (expansion.py:
+    160-189). Deterministic order, deduped."""
+    try:
+        tree = ast.parse(source)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return []
+    seen: set[tuple[str, str | None, str]] = set()
+    out: list[tuple[str, str | None, str]] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        ref: tuple[str, str | None, str] | None = None
+        if isinstance(fn, ast.Name):
+            ref = ("name", None, fn.id)
+        elif isinstance(fn, ast.Attribute):
+            base = fn.value
+            if isinstance(base, ast.Name):
+                ref = ("attr", base.id, fn.attr)
+            elif isinstance(base, ast.Call) and isinstance(base.func, ast.Name):
+                ref = ("ctor", base.func.id, fn.attr)
+        if ref is not None and ref not in seen:
+            seen.add(ref)
+            out.append(ref)
+    return out
+
+
+def _infer_return_class(source: str) -> str | None:
+    """Last `return ClassName(...)` in the function (expansion.py:487-505:
+    the visitor overwrites `found`, so the final Return wins)."""
+    try:
+        tree = ast.parse(source)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return None
+    found: str | None = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Return)
+            and isinstance(node.value, ast.Call)
+            and isinstance(node.value.func, ast.Name)
+        ):
+            found = node.value.func.id
+    return found
+
+
+def _scan_imports(content: str, dir_path: str) -> list[tuple]:
+    """Module-top-level import rows (expansion.py:286-324). One row per
+    alias: (alias, orig, is_module, cand1, cand2, suffix1, suffix2)."""
+    try:
+        tree = ast.parse(content)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return []
+    rows: list[tuple] = []
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            for al in node.names:
+                c1, c2, s1, s2 = _module_candidates(dir_path, al.name, 0)
+                rows.append((al.asname or al.name.split(".")[-1], None, "y", c1, c2, s1, s2))
+        elif isinstance(node, ast.ImportFrom) and node.module is not None:
+            c1, c2, s1, s2 = _module_candidates(dir_path, node.module, node.level or 0)
+            for al in node.names:
+                if al.name == "*":
+                    continue
+                rows.append((al.asname or al.name, al.name, "n", c1, c2, s1, s2))
+    return rows
+
+
+def _var_class_map(
+    code: str,
+    class_names: set[str],
+    factory_map: dict[str, str],
+    module_aliases: set[str],
+    from_aliases: set[str],
+) -> dict[str, tuple[str, str | None, str | None]]:
+    """var -> (resolution, a, b) from assignments/annotations inside one
+    function (expansion.py:361-458). Resolutions:
+      local:<cls>            — constructor/factory/annotation of a local name
+      alias_class:<alias>    — imported class alias (method lookup in target)
+      alias_factory:<alias>  — imported factory alias (factory return in target)
+      module_factory:<alias> — module_alias.factory(...) call
+    encoded as (kind, alias_or_cls, extra)."""
+    try:
+        tree = ast.parse(code)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return {}
+    out: dict[str, tuple[str, str | None, str | None]] = {}
+
+    def resolve_value(node: ast.AST) -> tuple[str, str | None, str | None] | None:
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            name = node.func.id
+            if name in class_names:
+                return ("local", name, None)
+            if name in from_aliases:
+                # `from M import X; v = X()` — the reference's class-alias
+                # branch short-circuits with `return None` when X is not a
+                # class in M (expansion.py:419-425), so a from-imported
+                # FACTORY never resolves there (its function_aliases
+                # factory branch is unreachable: every from-import
+                # populates both alias maps). Class-method probe only.
+                return ("alias_class", name, None)
+            if name in factory_map:
+                return ("local", factory_map[name], None)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            base = node.func.value
+            if isinstance(base, ast.Name) and base.id in module_aliases:
+                return ("module_factory", base.id, node.func.attr)
+        return None
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            resolved = resolve_value(node.value)
+            if resolved is None and isinstance(node.value, ast.Name):
+                resolved = out.get(node.value.id)  # x = y copy propagation
+            if resolved:
+                for tgt in node.targets:
+                    if isinstance(tgt, ast.Name):
+                        out[tgt.id] = resolved
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            ann = node.annotation
+            resolved = None
+            if isinstance(ann, ast.Name):
+                if ann.id in from_aliases:
+                    resolved = ("alias_class", ann.id, None)
+                else:
+                    resolved = ("local", ann.id, None)
+            elif isinstance(ann, ast.Attribute) and isinstance(ann.value, ast.Name):
+                if ann.value.id in module_aliases:
+                    # module.Class annotation -> class lookup in target
+                    resolved = ("module_class", ann.value.id, ann.attr)
+                else:
+                    resolved = ("local", ann.attr, None)
+            if resolved:
+                out[node.target.id] = resolved
+    return out
+
+
+def _file_facts_row(repo: str, path: str, commit: str, lang: str, content: str):
+    fpath = f"{repo}/{path}"
+    units = _extract_python_units(content)
+    if not units:
+        return None
+    dir_path = fpath.rsplit("/", 1)[0] if "/" in fpath else ""
+    functions = [
+        {
+            "idx": i,
+            "qname": u.qualified_name,
+            "short": u.qualified_name.split(".")[-1],
+            "start": u.start_line,
+            "end": u.end_line,
+            "code": u.code,
+            "code_hash": u.code_hash,
+        }
+        for i, u in enumerate(units)
+    ]
+    uid = {i: f"{fpath}:{u.qualified_name}:{u.start_line}:{u.end_line}" for i, u in enumerate(units)}
+    # last-definition-wins maps (reference dict overwrite order)
+    name_map = {f["short"]: i for i, f in enumerate(functions)}
+    qual_map = {f["qname"]: i for i, f in enumerate(functions)}
+    class_names = {
+        parts[-2] for f in functions if len(parts := f["qname"].split(".")) >= 2
+    }
+    factory_map: dict[str, str] = {}
+    for f in functions:
+        cls = _infer_return_class(f["code"])
+        if cls:
+            factory_map[f["short"]] = cls
+    import_rows = _scan_imports(content, dir_path)
+    module_aliases = {r[0] for r in import_rows if r[2] == "y"}
+    from_aliases = {r[0] for r in import_rows if r[2] == "n"}
+
+    local_edges: list[dict] = []
+    cross: list[dict] = []
+
+    def add_cross(i: int, shape: str, alias: str, method: str, fname: str | None = None):
+        cross.append(
+            {"caller_uid": uid[i], "shape": shape, "alias": alias, "fname": fname, "method": method}
+        )
+
+    for i, f in enumerate(functions):
+        calls = _collect_calls(f["code"])
+        if not calls:
+            continue
+        var_map = _var_class_map(f["code"], class_names, factory_map, module_aliases, from_aliases)
+        qparts = f["qname"].split(".")
+        own_class = qparts[-2] if len(qparts) >= 2 else None
+        for kind, base, name in calls:
+            if kind == "name":
+                if name in name_map:
+                    local_edges.append({"caller_uid": uid[i], "helper_uid": uid[name_map[name]]})
+                elif name in from_aliases:
+                    add_cross(i, "L1_orig", name, name)
+            elif kind == "attr":
+                if base in ("self", "cls") and own_class:
+                    j = qual_map.get(f"{own_class}.{name}")
+                    if j is not None:
+                        local_edges.append({"caller_uid": uid[i], "helper_uid": uid[j]})
+                elif base in var_map:
+                    res, a, b = var_map[base]
+                    if res == "local":
+                        j = qual_map.get(f"{a}.{name}")
+                        if j is not None:
+                            local_edges.append(
+                                {"caller_uid": uid[i], "helper_uid": uid[j]}
+                            )
+                    elif res == "alias_class":
+                        add_cross(i, "L2_class", a, name)
+                    elif res == "module_factory":
+                        add_cross(i, "L2_factory", a, name, fname=b)
+                    elif res == "module_class":
+                        add_cross(i, "L2_class", a, name, fname=b)
+                elif base in module_aliases:
+                    add_cross(i, "L1_method", base, name)
+            elif kind == "ctor":
+                if base in class_names:
+                    j = qual_map.get(f"{base}.{name}")
+                    if j is not None:
+                        local_edges.append({"caller_uid": uid[i], "helper_uid": uid[j]})
+                elif base in from_aliases:
+                    add_cross(i, "L2_class", base, name)
+    return {
+        "repo": repo,
+        "path": fpath,
+        "commit": commit,
+        "lang": lang,
+        "functions": functions,
+        "class_names": sorted(class_names),
+        "factories": [{"fn": k, "cls": v} for k, v in sorted(factory_map.items())],
+        "imports": [
+            {
+                "alias": r[0], "orig": r[1], "is_module": r[2],
+                "cand1": r[3], "cand2": r[4], "suffix1": r[5], "suffix2": r[6],
+            }
+            for r in import_rows
+        ],
+        "local_edges": local_edges,
+        "cross_calls": cross,
+    }
+
+
+def file_facts(corpus: DataFrame) -> DataFrame:
+    cols = ["repo", "path", "commit", "lang", "content"]
+    src = corpus.select(*cols).where(F.lower("lang").isin(*PYTHON_LANGS))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for repo, path, commit, lang, content in batch[cols].itertuples(index=False):
+                row = _file_facts_row(repo, path, commit, lang, content or "")
+                if row is not None:
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=list(FACTS_SCHEMA.fieldNames()))
+
+    return src.mapInPandas(gen, schema=FACTS_SCHEMA)
+
+
+def _units_flat(facts: DataFrame) -> DataFrame:
+    u = facts.select(
+        "repo", "path", "commit", "lang", F.explode("functions").alias("f")
+    )
+    return u.select(
+        "repo", "path", "commit", "lang",
+        F.col("f.idx").alias("idx"),
+        F.col("f.qname").alias("qname"),
+        F.col("f.short").alias("short"),
+        F.col("f.start").alias("start"),
+        F.col("f.end").alias("end"),
+        F.col("f.code").alias("code"),
+        F.col("f.code_hash").alias("code_hash"),
+        F.concat_ws(":", "path", "f.qname",
+                    F.col("f.start").cast("string"), F.col("f.end").cast("string")).alias("uid"),
+    )
+
+
+def _last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep the function with the highest definition index per key (the
+    reference's dict-overwrite semantics for duplicate names)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("idx").desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def _resolved_imports(facts: DataFrame) -> DataFrame:
+    """(repo, path, alias, orig, is_module, target) — import aliases whose
+    module resolved to a local Python file (same repo)."""
+    imps = facts.select(
+        "repo", "path", F.explode("imports").alias("i")
+    ).select(
+        "repo", "path",
+        F.col("i.alias").alias("alias"),
+        F.col("i.orig").alias("orig"),
+        F.col("i.is_module").alias("is_module"),
+        F.col("i.cand1").alias("cand1"),
+        F.col("i.cand2").alias("cand2"),
+        F.col("i.suffix1").alias("suffix1"),
+        F.col("i.suffix2").alias("suffix2"),
+    )
+    files = facts.select("repo", F.col("path").alias("fp")).dropDuplicates()
+    t1 = files.select(F.col("fp").alias("__t1"))
+    t2 = files.select(F.col("fp").alias("__t2"))
+    resolved = imps.join(t1, imps["cand1"] == F.col("__t1"), "left").join(
+        t2, imps["cand2"] == F.col("__t2"), "left"
+    )
+    # suffix fallback (same repo), deterministic min-path pick
+    sfx = files.select(
+        "repo", F.col("fp").alias("__t3"), F.explode(_path_suffixes(F.col("fp"))).alias("__sfx")
+    )
+    best_sfx = (
+        imps.select("repo", "path", "alias", "suffix1", "suffix2")
+        .join(
+            sfx,
+            (imps["repo"] == sfx["repo"])
+            & ((F.col("suffix1") == F.col("__sfx")) | (F.col("suffix2") == F.col("__sfx"))),
+        )
+        .groupBy(imps["repo"], "path", "alias")
+        .agg(F.min("__t3").alias("__t3"))
+    )
+    resolved = resolved.join(
+        best_sfx.select(
+            F.col("repo").alias("__r3"), F.col("path").alias("__p3"),
+            F.col("alias").alias("__a3"), "__t3",
+        ),
+        (resolved["repo"] == F.col("__r3"))
+        & (resolved["path"] == F.col("__p3"))
+        & (resolved["alias"] == F.col("__a3")),
+        "left",
+    )
+    return resolved.select(
+        "repo", "path", "alias", "orig", "is_module",
+        F.coalesce("__t1", "__t2", "__t3").alias("target"),
+    ).where(F.col("target").isNotNull())
+
+
+def _path_suffixes(path_col, max_segs: int = 6):
+    """Array of the last-k-segment suffixes of a /-separated path,
+    k = 1..max_segs (the _matches_module_path join keys)."""
+    parts = F.split(path_col, "/")
+    n = F.size(parts)
+    ks = F.sequence(F.lit(1), F.least(n, F.lit(max_segs)))
+    return F.transform(ks, lambda k: F.concat_ws("/", F.slice(parts, n - k + 1, k)))
+
+
+def call_edges(facts: DataFrame) -> DataFrame:
+    """(caller_uid, helper_uid) — local + cross-file resolved call graph."""
+    units = _units_flat(facts)
+    l1 = _last_wins(units.select("path", "short", "idx", "uid"), ["path", "short"])
+    l2 = _last_wins(units.select("path", "qname", "idx", "uid"), ["path", "qname"])
+    local = facts.select(F.explode("local_edges").alias("e")).select(
+        F.col("e.caller_uid").alias("caller_uid"), F.col("e.helper_uid").alias("helper_uid")
+    )
+
+    cross = facts.select("repo", "path", F.explode("cross_calls").alias("c")).select(
+        "repo", "path",
+        F.col("c.caller_uid").alias("caller_uid"),
+        F.col("c.shape").alias("shape"),
+        F.col("c.alias").alias("alias"),
+        F.col("c.fname").alias("fname"),
+        F.col("c.method").alias("method"),
+    )
+    needs_module = F.col("shape").isin("L1_method") | (
+        F.col("shape").isin("L2_factory", "L2_class") & F.col("fname").isNotNull()
+    )
+    imp = _resolved_imports(facts).select(
+        F.col("path").alias("__ip"), F.col("alias").alias("__ia"),
+        F.col("orig").alias("__orig"), F.col("is_module").alias("__im"),
+        F.col("target").alias("__target"),
+    )
+    c = cross.join(
+        imp,
+        (cross["path"] == F.col("__ip"))
+        & (cross["alias"] == F.col("__ia"))
+        & (F.when(needs_module, F.col("__im") == "y").otherwise(F.col("__im") == "n")),
+    )
+    # shape L1_orig: from-import function alias -> target short-name map
+    # shape L1_method: module alias attr call -> target short-name map
+    a = c.where(F.col("shape").isin("L1_orig", "L1_method")).withColumn(
+        "__short",
+        F.when(F.col("shape") == "L1_orig", F.col("__orig")).otherwise(F.col("method")),
+    )
+    edges_a = a.join(
+        l1.select(F.col("path").alias("__tp"), F.col("short").alias("__ts"),
+                  F.col("uid").alias("helper_uid")),
+        (a["__target"] == F.col("__tp")) & (a["__short"] == F.col("__ts")),
+    ).select("caller_uid", "helper_uid")
+    # shape L2_class: imported class alias -> target qualified Class.method
+    b = c.where(F.col("shape") == "L2_class").withColumn(
+        "__qn", F.concat_ws(".", F.coalesce("fname", "__orig"), F.col("method"))
+    )
+    edges_b = b.join(
+        l2.select(F.col("path").alias("__tp"), F.col("qname").alias("__tq"),
+                  F.col("uid").alias("helper_uid")),
+        (b["__target"] == F.col("__tp")) & (b["__qn"] == F.col("__tq")),
+    ).select("caller_uid", "helper_uid")
+    # shape L2_factory: factory in target -> its returned class's method
+    facs = facts.select(F.col("path").alias("__fp"), F.explode("factories").alias("f")).select(
+        "__fp", F.col("f.fn").alias("__ffn"), F.col("f.cls").alias("__fcls")
+    )
+    d = c.where(F.col("shape") == "L2_factory").withColumn(
+        "__fkey", F.coalesce("fname", "__orig")
+    )
+    d = d.join(facs, (d["__target"] == F.col("__fp")) & (d["__fkey"] == F.col("__ffn")))
+    d = d.withColumn("__qn", F.concat_ws(".", F.col("__fcls"), F.col("method")))
+    edges_d = d.join(
+        l2.select(F.col("path").alias("__tp"), F.col("qname").alias("__tq"),
+                  F.col("uid").alias("helper_uid")),
+        (d["__target"] == F.col("__tp")) & (d["__qn"] == F.col("__tq")),
+    ).select("caller_uid", "helper_uid")
+
+    return (
+        local.unionByName(edges_a).unionByName(edges_b).unionByName(edges_d)
+        .where(F.col("caller_uid") != F.col("helper_uid"))
+        .dropDuplicates()
+    )
+
+
+def _bfs_reach(edges: DataFrame, depth: int) -> DataFrame:
+    """(origin_uid, helper_uid, hop) — all helpers within `depth` hops of
+    each origin, excluding the origin itself; min hop kept."""
+    reach = edges.select(
+        F.col("caller_uid").alias("origin_uid"), "helper_uid", F.lit(1).alias("hop")
+    ).dropDuplicates(["origin_uid", "helper_uid"])
+    frontier = reach
+    step = edges.select(
+        F.col("caller_uid").alias("__via"), F.col("helper_uid").alias("__next")
+    )
+    for hop in range(2, depth + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(step, frontier["helper_uid"] == F.col("__via"))
+            .select("origin_uid", F.col("__next").alias("helper_uid"), F.lit(hop).alias("hop"))
+            .where(F.col("origin_uid") != F.col("helper_uid"))
+            .dropDuplicates(["origin_uid", "helper_uid"])
+            .join(reach.select("origin_uid", "helper_uid"), ["origin_uid", "helper_uid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach
+
+
+def expand_snippets(corpus: DataFrame, exp: ExpansionConfig, windows: WindowConfig) -> DataFrame:
+    """EXP snippet rows (SNIPPET_SCHEMA) for the corpus; empty when
+    disabled. `windows` is unused but kept for signature symmetry with
+    extract_snippets."""
+    spark = corpus.sparkSession
+    if not exp.enabled or exp.depth <= 0:
+        return spark.createDataFrame([], SNIPPET_SCHEMA)
+    # localCheckpoint, not persist: facts feeds ~8 branches of the edge
+    # union and each branch would otherwise embed the whole mapInPandas
+    # subtree in the LOGICAL plan — downstream self-joins then multiply
+    # the tree to the point where Catalyst's own plan rendering OOMs.
+    # Truncating lineage here keeps the plan linear in branch count.
+    facts = file_facts(corpus).localCheckpoint(eager=True)
+    units = _units_flat(facts)
+    edges = call_edges(facts)
+    reach = _bfs_reach(edges, exp.depth)
+
+    helper_payload = units.select(
+        F.col("uid").alias("helper_uid"),
+        F.col("qname").alias("helper_qname"),
+        F.col("code").alias("helper_code"),
+    )
+    per_origin = (
+        reach.join(helper_payload, "helper_uid")
+        .groupBy("origin_uid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("hop").alias("hop"),
+                        F.col("helper_qname").alias("qname"),
+                        F.col("helper_uid").alias("uid"),
+                        F.col("helper_code").alias("code"),
+                    )
+                )
+            ).alias("helpers_all")
+        )
+    )
+    origin = units.select(
+        F.col("uid").alias("origin_uid"), "repo", "path", "commit", "lang",
+        "qname", "start", "end", "code", "code_hash",
+    )
+    joined = per_origin.join(origin, "origin_uid")
+    # cumulative max_chars fold, JVM-side: append each helper's
+    # "\n\n# expanded:{qname}\n{code}" unless the running text would
+    # exceed max_chars (expansion.py:131-139 skip-and-continue).
+    acc0 = F.struct(
+        F.col("code").alias("txt"),
+        F.array().cast("array<string>").alias("kept"),
+    )
+    addition = lambda h: F.concat(  # noqa: E731
+        F.lit("\n\n# expanded:"), h["qname"], F.lit("\n"), h["code"]
+    )
+    fold = F.aggregate(
+        F.col("helpers_all"),
+        acc0,
+        lambda acc, h: F.when(
+            F.length(acc["txt"]) + F.length(addition(h)) > F.lit(exp.max_chars), acc
+        ).otherwise(
+            F.struct(
+                F.concat(acc["txt"], addition(h)).alias("txt"),
+                F.array_append(acc["kept"], h["qname"]).alias("kept"),
+            )
+        ),
+    )
+    assembled = joined.withColumn("__fold", fold).where(F.size("__fold.kept") > 0).select(
+        "repo", "path", "commit", "lang", "qname", "start", "end", "code_hash",
+        F.col("__fold.txt").alias("expanded"),
+        F.concat_ws(",", "__fold.kept").alias("helpers_csv"),
+    )
+
+    out_names = list(SNIPPET_SCHEMA.fieldNames())
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                norm = normalize_source(r.expanded)
+                sid = _sha256(
+                    f"EXP:{r.path}:{r.start}:{r.end}:{r.code_hash}:{r.helpers_csv}:"
+                    f"{exp.depth}:{exp.max_chars}:{norm}"
+                )
+                rows.append(
+                    (
+                        r.repo, r.path, r.commit, r.lang,
+                        f"{r.path}:{r.qname}:{r.start}:{r.end}", r.qname,
+                        r.start, r.end, "EXP", r.start, r.end, sid, norm,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_names)
+
+    # EXP rows are few and small; cutting lineage again keeps the
+    # snippets-stage plan (extract UNION exp -> tokenize -> collapse ->
+    # ...) from re-embedding the whole resolution DAG per consumer.
+    return assembled.mapInPandas(finish, schema=SNIPPET_SCHEMA).localCheckpoint(eager=True)

@@ -170,9 +170,15 @@ def run_pipeline(
     if src.rdd.getNumPartitions() < dp:
         src = src.repartition(dp)
 
-    snippets = ck.load_or_compute(
-        "snippets", lambda: tokenize_snippets(extract_snippets(src, cfg.windows), cfg)
-    )
+    def _snippets() -> DataFrame:
+        s = extract_snippets(src, cfg.windows)
+        if cfg.expansion.enabled and cfg.expansion.depth > 0:
+            from sparkclone.expansion import expand_snippets
+
+            s = s.unionByName(expand_snippets(src, cfg.expansion, cfg.windows))
+        return tokenize_snippets(s, cfg)
+
+    snippets = ck.load_or_compute("snippets", _snippets)
     reps, star_edges = collapse_exact(snippets)
     signatures = ck.load_or_compute("signatures", lambda: with_signatures(reps, cfg.signature))
 

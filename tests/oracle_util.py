@@ -42,8 +42,16 @@ def _install_tqdm_stub() -> None:
     sys.modules["tqdm"] = mod
 
 
-def run_reference_oracle(root: str, window=(12, 6, 4), processes: int | None = None):
+def run_reference_oracle(
+    root: str,
+    window=(12, 6, 4),
+    processes: int | None = None,
+    expansion: tuple[int, int] | None = None,
+):
     """Scan `root` with the reference at oracle config.
+
+    ``expansion=(depth, max_chars)`` enables EXP call-expansion snippets
+    (reference default-off, core/config.py:14-18).
 
     Returns dict with:
       pairs     — set of (unit_a, unit_b) identity pairs (root-relative,
@@ -58,6 +66,7 @@ def run_reference_oracle(root: str, window=(12, 6, 4), processes: int | None = N
     from clonehunter.core.config import (
         CloneHunterConfig,
         EmbedderConfig,
+        ExpansionConfig,
         IndexConfig,
         Thresholds,
         WindowConfig,
@@ -82,6 +91,11 @@ def run_reference_oracle(root: str, window=(12, 6, 4), processes: int | None = N
         index=IndexConfig(name="brute", top_k=1_000_000),
         embedder=EmbedderConfig(name="stub"),
         cluster_findings=True,
+        expansion=(
+            ExpansionConfig(enabled=True, depth=expansion[0], max_chars=expansion[1])
+            if expansion
+            else ExpansionConfig()
+        ),
     )
     res = ref_run([root], cfg)
 
