@@ -132,14 +132,14 @@ def _resolve_settings(args: argparse.Namespace):
     return settings, inc, exc
 
 
-def _write_report(args, findings, stats, config_snapshot, timing, out_path) -> None:
+def _write_report(args, findings, stats, config_snapshot, timing, out_path, snippets=None) -> None:
     from sparkclone.report import write_html_report, write_json_report, write_sarif_report
 
     if args.format == "json":
         write_json_report(findings, stats=stats, config_snapshot=config_snapshot,
                           timing=timing, out_path=out_path, top_n=args.top_n)
     elif args.format == "html":
-        write_html_report(findings, out_path, top_n=args.top_n)
+        write_html_report(findings, out_path, top_n=args.top_n, snippets=snippets)
     else:
         write_sarif_report(findings, out_path, top_n=args.top_n)
 
@@ -222,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
         out["clusters"].write.mode("overwrite").parquet(f"{args.output_tables}/clusters")
 
     _write_report(
-        args, findings, stats, {"config_hash": cfg.config_hash()}, timing, out_path
+        args, findings, stats, {"config_hash": cfg.config_hash()}, timing, out_path,
+        snippets=out["snippets"],
     )
     print(json.dumps({"stats": stats, "timing": timing, "report": out_path}))
     return 0

@@ -125,13 +125,44 @@ def connected_components(
 def _densify(membership: DataFrame, dense_ids: bool) -> DataFrame:
     roots = membership.groupBy("label").agg(F.min("unit_id").alias("cluster_root"))
     if dense_ids:
-        # densify 1..K ordered by min member identity. The global
-        # dense_rank runs in a single task — fine up to millions of
-        # clusters (cluster COUNT, not membership); for larger runs pass
-        # dense_ids=False and use the stable 64-bit root label directly.
-        dense = roots.withColumn(
-            "cluster_id", F.dense_rank().over(Window.orderBy("cluster_root"))
+        # Densify 1..K ordered by min member identity WITHOUT a global
+        # single-task sort: range-partition the roots by cluster_root
+        # (each task sorts only its range), rank within each partition,
+        # then add per-partition offsets (one tiny collect of partition
+        # counts). repartitionByRange orders ranges by partition id, so
+        # offset + local rank == global rank. Distinct cluster_root per
+        # label is guaranteed (components are disjoint member sets), so
+        # row_number == dense_rank. For runs beyond ~2^31 clusters use
+        # dense_ids=False and keep the stable 64-bit root label.
+        spark = membership.sparkSession
+        ranged = roots.repartitionByRange(F.col("cluster_root")).withColumn(
+            "__pid", F.spark_partition_id()
         )
+        w = Window.partitionBy("__pid").orderBy("cluster_root")
+        # freeze the range-partition assignment (sampling-based) so the
+        # counts pass and the join pass see identical __pid values
+        local = ranged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in local.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+        )
+        offsets, acc = [], 0
+        for pid, n in counts:
+            offsets.append((pid, acc))
+            acc += n
+        if offsets:
+            off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+            dense = (
+                local.join(F.broadcast(off_df), "__pid")
+                .withColumn("cluster_id", (F.col("__off") + F.col("__rn")).cast("int"))
+                .drop("__pid", "__rn", "__off")
+            )
+        else:
+            dense = local.withColumn("cluster_id", F.lit(None).cast("int")).drop(
+                "__pid", "__rn"
+            )
     else:
         dense = roots.withColumn("cluster_id", F.col("label"))
     return membership.join(dense, "label").select("unit_id", "cluster_id", "cluster_root")

@@ -48,9 +48,9 @@ def incremental_scan(
     checkpoint_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline over the new corpus + diff-filtered findings
-    (mirrors run_diff's full-scan-then-filter, diff.py:36-69). A future
-    optimization is probe-side LSH (new files' band hashes against the
-    checkpointed bucket table) — semantics preserved either way."""
+    (mirrors run_diff's full-scan-then-filter, diff.py:36-69). For rescan
+    cost that scales with the diff instead of the corpus, see
+    :func:`incremental_scan_probe`."""
     from sparkclone.pipeline import run_pipeline
 
     out = run_pipeline(spark, corpus_new, cfg, checkpoint_dir=checkpoint_dir)
@@ -58,3 +58,101 @@ def incremental_scan(
     out["changed_files"] = ch
     out["diff_findings"] = diff_filter_findings(out["findings"], ch)
     return out
+
+
+def incremental_scan_probe(
+    spark,
+    corpus_new: DataFrame,
+    base_snippets: DataFrame,
+    base_signatures: DataFrame,
+    corpus_old: DataFrame,
+    cfg=None,
+) -> dict[str, DataFrame]:
+    """Probe-side LSH diff: identical diff_findings to
+    ``incremental_scan`` (changed-vs-ALL), with per-stage cost scaling in
+    the CHANGED set, not the corpus:
+
+      - extraction (the Python-kernel stage) runs only over changed
+        files; unchanged files' tokenized snippets load from the base
+        run's ``snippets`` checkpoint (snippets of deleted/changed paths
+        are anti-joined away);
+      - MinHash/SimHash computation is per-snippet incremental: the base
+        ``signatures`` checkpoint is reused via a left-anti join on
+        snippet_id and only cache-miss snippets are signed — the
+        left-anti-join analogue of the reference's content-addressed
+        embedding cache (core/pipeline.py:50-88, SURVEY E3);
+      - candidate generation probes ONLY the changed representatives'
+        band rows against the full band table, so pair volume scales
+        with the changed buckets (the north rule's probe-side reserve).
+
+    Exact-dup collapse is recomputed over the merged snippet set — it is
+    a pure hash groupBy over precomputed columns (no Python, one
+    shuffle), and rep selection must stay global for star-edge parity.
+
+    EXP snippets: call expansion reads the cross-file call graph, so
+    probe mode requires ``cfg.expansion.enabled == False`` (full rescan
+    handles EXP).
+    """
+    from pyspark.sql import functions as F
+
+    from sparkclone.config import PipelineConfig
+    from sparkclone.extract import extract_snippets
+    from sparkclone.lsh import band_table, probe_candidate_pairs
+    from sparkclone.pipeline import collapse_exact, tokenize_snippets
+    from sparkclone.rollup import rollup_findings
+    from sparkclone.runtime import ensure_shipped
+    from sparkclone.signatures import with_signatures
+    from sparkclone.verify import attach_sides, verify_pairs, with_lcs_evidence
+
+    ensure_shipped(spark)
+    cfg = cfg or PipelineConfig()
+    if cfg.expansion.enabled:
+        raise ValueError("probe-side incremental scan does not support EXP expansion")
+
+    changed = changed_files(corpus_new, corpus_old).persist()
+    changed_fp = changed.select(F.col("fpath").alias("__chfp"))
+
+    # 1. extract ONLY changed files; reuse everything else from base
+    changed_corpus = corpus_new.join(
+        F.broadcast(changed.select("repo", "path")), ["repo", "path"], "left_semi"
+    )
+    new_snips = tokenize_snippets(extract_snippets(changed_corpus, cfg.windows), cfg)
+    live_paths = corpus_new.select(
+        F.concat_ws("/", "repo", "path").alias("__livefp")
+    ).dropDuplicates()
+    kept_base = base_snippets.join(
+        F.broadcast(changed_fp), base_snippets["path"] == F.col("__chfp"), "left_anti"
+    ).join(live_paths, base_snippets["path"] == F.col("__livefp"), "left_semi")
+    all_snips = kept_base.unionByName(new_snips)
+
+    # 2. global exact collapse (cheap, no Python), then per-snippet
+    # incremental signatures
+    reps, star_edges = collapse_exact(all_snips)
+    cached = base_signatures.join(
+        reps.select("snippet_id"), "snippet_id", "left_semi"
+    )
+    misses = reps.join(base_signatures.select("snippet_id"), "snippet_id", "left_anti")
+    signatures = cached.unionByName(with_signatures(misses, cfg.signature))
+
+    # 3. probe: changed reps' band rows vs the full band table
+    bt_all = band_table(signatures)
+    changed_rep_ids = reps.join(
+        F.broadcast(changed_fp), reps["path"] == F.col("__chfp"), "left_semi"
+    ).select(F.col("snippet_id").alias("id"))
+    pairs = probe_candidate_pairs(bt_all, changed_rep_ids, cfg.lsh)
+
+    verified = with_lcs_evidence(
+        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, signatures
+    )
+    from sparkclone.pipeline import _EDGE_COLS
+
+    edges = verified.select(*_EDGE_COLS).unionByName(star_edges.select(*_EDGE_COLS))
+    findings = rollup_findings(edges, cfg.thresholds)
+    diff_findings = diff_filter_findings(findings, changed)
+    return {
+        "changed_files": changed,
+        "snippets": all_snips,
+        "signatures": signatures,
+        "candidate_pairs": pairs,
+        "diff_findings": diff_findings,
+    }

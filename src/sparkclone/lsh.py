@@ -137,6 +137,42 @@ def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
     )
 
 
+def probe_candidate_pairs(
+    bt_all: DataFrame, probe_ids: DataFrame, cfg: LshConfig
+) -> DataFrame:
+    """Asymmetric pair generation for incremental scans: only band rows
+    of ``probe_ids`` (the changed side) are joined against the full band
+    table, so pair volume scales with the changed buckets. Bucket
+    eligibility (>= 2 members, <= max_bucket_size) matches
+    :func:`candidate_pairs` exactly so a probe run emits the same
+    changed-touching pair set as a full run; the probe side is small by
+    construction, so no salting is needed. Pairs are canonicalized with
+    least/greatest (the probe row may carry either side of a pair)."""
+    sizes = (
+        bt_all.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsize"))
+        .where(F.col("bsize") >= 2)
+    )
+    cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
+    eligible = bt_all.join(
+        sizes.where(F.col("bsize") <= cap).drop("bsize"), ["band_id", "band_hash"]
+    )
+    probe = eligible.join(
+        probe_ids.select(F.col("id").alias("__pid")),
+        eligible["id"] == F.col("__pid"),
+        "left_semi",
+    )
+    a = probe.select("band_id", "band_hash", *_side_cols(probe, "a"))
+    b = eligible.select("band_id", "band_hash", *_side_cols(eligible, "b"))
+    joined = a.join(b, ["band_id", "band_hash"]).where(F.col("id_a") != F.col("id_b"))
+    if "unit_key" in bt_all.columns:
+        joined = joined.where(~_same_unit_overlap())
+    return joined.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).dropDuplicates()
+
+
 def candidate_pairs(
     sigs: DataFrame, cfg: LshConfig, id_col: str = "snippet_id"
 ) -> tuple[DataFrame, DataFrame]:

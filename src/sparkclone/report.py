@@ -77,27 +77,198 @@ def write_json_report(
         json.dump(payload, f, indent=2, default=str)
 
 
-def write_html_report(findings: DataFrame, out_path: str, top_n: int = 1000) -> None:
-    rows = collect_findings(findings, top_n)
-    cells = "".join(
-        "<tr><td>{a}</td><td>{b}</td><td>{s:.4f}</td><td>{d}</td><td>{r}</td></tr>".format(
-            a=html_mod.escape(str(r["unit_a"])),
-            b=html_mod.escape(str(r["unit_b"])),
-            s=r["score"],
-            d=r["duplicated_lines"],
-            r=html_mod.escape(",".join(r["reasons"])),
-        )
-        for r in rows
+# --------------------------------------------------------------------------
+# HTML report (reference reporting/html_reporter.py:12-360 feature parity:
+# sortable findings list, per-finding summary grid, side-by-side diff with
+# add/chg/sub highlighting and long-equal-run hiding, best-match compare
+# view from reporting/compare.py:20-32 — here the compared texts are the
+# units' best display snippets joined back for just the top-N findings).
+# --------------------------------------------------------------------------
+
+_HTML_STYLE = """
+  body { font: 14px/1.4 -apple-system, sans-serif; margin: 24px; }
+  .finding { border: 1px solid #ccc; border-radius: 6px; margin: 14px 0;
+             padding: 10px 14px; }
+  .summary-grid { display: grid; grid-template-columns: 1fr 1fr; gap: 8px; }
+  .path { font-family: monospace; font-size: 13px; }
+  .meta { color: #555; font-size: 13px; }
+  .diff-wrap { overflow-x: auto; max-width: 100%; }
+  table.diff { width: 100%; border-collapse: collapse; font-family: monospace;
+               font-size: 12px; }
+  table.diff th, table.diff td { padding: 3px 6px; vertical-align: top;
+                                 border-bottom: 1px solid #eee;
+                                 white-space: pre; }
+  table.diff th { background: #f3f3f3; text-align: left; }
+  .line-no { color: #999; text-align: right; }
+  .diff_add { background: #e6ffed; }
+  .diff_chg { background: #fff5b1; }
+  .diff_sub { background: #ffeef0; }
+  .hidden-note { color: #888; font-style: italic; text-align: center; }
+"""
+
+_HTML_SORT_JS = """
+  document.addEventListener("DOMContentLoaded", () => {
+    const list = document.getElementById("findings");
+    const sel = document.getElementById("sort-findings");
+    if (!list || !sel) return;
+    const sortFindings = () => {
+      const items = Array.from(list.children);
+      items.sort((a, b) => {
+        const mode = sel.value;
+        if (mode === "lines")
+          return (+b.dataset.lines) - (+a.dataset.lines);
+        if (mode === "path")
+          return a.dataset.path.localeCompare(b.dataset.path);
+        return (+b.dataset.score) - (+a.dataset.score);
+      });
+      items.forEach(i => list.appendChild(i));
+    };
+    sel.addEventListener("change", sortFindings);
+    sortFindings();
+  });
+"""
+
+_DIFF_CONTEXT = 3
+
+
+def _diff_row(no_a, line_a, no_b, line_b, css: str) -> str:
+    esc = html_mod.escape
+    return (
+        f'<tr class="{css}"><td class="line-no">{no_a}</td><td>{esc(str(line_a))}</td>'
+        f'<td class="line-no">{no_b}</td><td>{esc(str(line_b))}</td></tr>'
     )
+
+
+def render_side_by_side(text_a: str, text_b: str) -> str:
+    """difflib.SequenceMatcher side-by-side table with the reference's
+    long-equal-run hiding (html_reporter.py:195-235): equal blocks show
+    up to _DIFF_CONTEXT lines at each edge with a '<N lines not shown>'
+    marker in between."""
+    lines_a = text_a.splitlines()
+    lines_b = text_b.splitlines()
+    rows: list[str] = []
+    matcher = difflib.SequenceMatcher(a=lines_a, b=lines_b, autojunk=False)
+    for tag, a0, a1, b0, b1 in matcher.get_opcodes():
+        if tag == "equal":
+            n = a1 - a0
+            if n > 2 * _DIFF_CONTEXT + 1:
+                for k in range(_DIFF_CONTEXT):
+                    rows.append(_diff_row(a0 + k + 1, lines_a[a0 + k], b0 + k + 1, lines_b[b0 + k], ""))
+                hidden = n - 2 * _DIFF_CONTEXT
+                note = html_mod.escape(f"<{hidden} lines not shown>")
+                rows.append(f'<tr><td class="line-no"></td><td class="hidden-note">{note}</td>'
+                            f'<td class="line-no"></td><td class="hidden-note">{note}</td></tr>')
+                for k in range(n - _DIFF_CONTEXT, n):
+                    rows.append(_diff_row(a0 + k + 1, lines_a[a0 + k], b0 + k + 1, lines_b[b0 + k], ""))
+            else:
+                for k in range(n):
+                    rows.append(_diff_row(a0 + k + 1, lines_a[a0 + k], b0 + k + 1, lines_b[b0 + k], ""))
+        elif tag == "replace":
+            for k in range(max(a1 - a0, b1 - b0)):
+                la = lines_a[a0 + k] if a0 + k < a1 else ""
+                lb = lines_b[b0 + k] if b0 + k < b1 else ""
+                na = a0 + k + 1 if a0 + k < a1 else ""
+                nb = b0 + k + 1 if b0 + k < b1 else ""
+                rows.append(_diff_row(na, la, nb, lb, "diff_chg"))
+        elif tag == "delete":
+            for k in range(a1 - a0):
+                rows.append(_diff_row(a0 + k + 1, lines_a[a0 + k], "", "", "diff_sub"))
+        elif tag == "insert":
+            for k in range(b1 - b0):
+                rows.append(_diff_row("", "", b0 + k + 1, lines_b[b0 + k], "diff_add"))
+    return (
+        '<div class="diff-wrap"><table class="diff">'
+        '<thead><tr><th class="line-no"></th><th>Unit A</th>'
+        '<th class="line-no"></th><th>Unit B</th></tr></thead>'
+        f"<tbody>{''.join(rows)}</tbody></table></div>"
+    )
+
+
+def best_display_texts(findings_rows: list[dict], snippets: DataFrame | None):
+    """unit_id -> display text for every unit in the top-N findings: the
+    unit's best snippet by kind rank FUNC > EXP > WIN (the reference's
+    best-match kind ranking, similarity/ranking.py:10-19), earliest span
+    first. One bounded join — texts are fetched for the report's N pairs
+    only, never for the full findings table."""
+    if snippets is None:
+        return {}
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    unit_ids = sorted({r["unit_a"] for r in findings_rows} | {r["unit_b"] for r in findings_rows})
+    if not unit_ids:
+        return {}
+    spark = snippets.sparkSession
+    wanted = spark.createDataFrame([(u,) for u in unit_ids], "unit_id string")
+    rank = (
+        F.when(F.col("kind") == "FUNC", 3)
+        .when(F.col("kind") == "EXP", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("unit_id").orderBy(
+        rank.desc(), F.col("start_line").asc(), F.col("snippet_id")
+    )
+    best = (
+        snippets.join(F.broadcast(wanted), "unit_id", "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("unit_id", "norm_text")
+    )
+    return {r["unit_id"]: r["norm_text"] for r in best.collect()}
+
+
+def _render_finding(r: dict, texts: dict) -> str:
+    esc = html_mod.escape
+
+    def span(unit_id: str) -> str:
+        path, _q, s, e = str(unit_id).rsplit(":", 3)
+        return f"{path}:{s}-{e}"
+
+    ta, tb = texts.get(r["unit_a"]), texts.get(r["unit_b"])
+    if ta is not None and tb is not None:
+        diff_html = render_side_by_side(ta, tb)
+    else:
+        diff_html = '<div class="code-box">No diff available.</div>'
+    cluster = r.get("cluster_id")
+    return (
+        f'<div class="finding" data-score="{r["score"]}" '
+        f'data-lines="{r["duplicated_lines"]}" data-path="{esc(span(r["unit_a"]))}">'
+        '<div class="summary-grid">'
+        f'<div class="path">{esc(span(r["unit_a"]))}</div>'
+        f'<div class="path">{esc(span(r["unit_b"]))}</div>'
+        "</div>"
+        f'<div class="meta">score {r["score"]:.4f} · {r["duplicated_lines"]} duplicated lines'
+        f' · reasons: {esc(",".join(r["reasons"]))}'
+        + (f" · cluster {cluster}" if cluster is not None else "")
+        + "</div>"
+        f"{diff_html}</div>"
+    )
+
+
+def write_html_report(
+    findings: DataFrame,
+    out_path: str,
+    top_n: int = 1000,
+    snippets: DataFrame | None = None,
+) -> None:
+    rows = collect_findings(findings, top_n)
+    texts = best_display_texts(rows, snippets)
+    body = "".join(_render_finding(r, texts) for r in rows)
     doc = (
         "<!doctype html><html><head><meta charset='utf-8'>"
-        "<title>sparkclone findings</title>"
-        "<style>table{border-collapse:collapse}td,th{border:1px solid #999;"
-        "padding:4px 8px;font:13px monospace}</style></head><body>"
-        f"<h1>sparkclone findings ({len(rows)})</h1>"
-        "<table><tr><th>unit_a</th><th>unit_b</th><th>score</th>"
-        "<th>dup_lines</th><th>reasons</th></tr>"
-        f"{cells}</table></body></html>"
+        "<title>sparkclone Report</title>"
+        f"<style>{_HTML_STYLE}</style></head><body>"
+        f"<h1>sparkclone Report</h1>"
+        f'<div class="meta">Schema: unit pair · score · duplicated lines · reasons '
+        f"({len(rows)} findings)</div>"
+        '<div class="controls"><label for="sort-findings">Sort findings:</label> '
+        '<select id="sort-findings">'
+        '<option value="score">score</option>'
+        '<option value="lines">duplicated lines</option>'
+        '<option value="path">path</option>'
+        "</select></div>"
+        f'<div class="list" id="findings">{body}</div>'
+        f"<script>{_HTML_SORT_JS}</script></body></html>"
     )
     with open(out_path, "w") as f:
         f.write(doc)
@@ -131,6 +302,10 @@ def write_sarif_report(findings: DataFrame, out_path: str, top_n: int = 1000) ->
                 _unit_location(r["unit_a"]),
                 _unit_location(r["unit_b"]),
             ],
+            "properties": {
+                "duplicated_lines": r["duplicated_lines"],
+                "reasons": list(r["reasons"]),
+            },
         }
         for r in rows
     ]

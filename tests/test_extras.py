@@ -38,7 +38,7 @@ def test_html_report(pipeline_output, tmp_path):
     write_html_report(pipeline_output["findings"], str(out))
     doc = out.read_text()
     assert doc.startswith("<!doctype html>")
-    assert "<table>" in doc and "unit_a" in doc
+    assert 'class="finding"' in doc and "sort-findings" in doc
 
 
 def test_sarif_report(pipeline_output, tmp_path):
