@@ -559,14 +559,16 @@ def _q_clone_pipeline_cluster_sizes(spark, sf_dir):
 
 def _q_srp_ann_top3(spark, sf_dir):
     """Scale-path ANN: SRP-bucketed candidate join, slim id-pair dedupe,
-    vectors joined back once for scoring. Params (3 planes x 12 tables)
-    hold recall@3 >= 0.9 vs the exact brute-force result — pytest-gated in
-    tests/test_vector_ann.py. dim=64 comes from the embeddings schema
-    (TESTDATA.md) instead of a driver-side first()."""
+    vectors joined back once for scoring. Plane count auto-scales with N
+    (buckets ~N/64) so bucket pair-generation never reverts to quadratic;
+    at the sf0.001 validation scale that resolves to 3 planes x 12
+    tables, which holds recall@3 >= 0.9 vs the exact brute-force result —
+    pytest-gated in tests/test_vector_ann.py. dim=64 comes from the
+    embeddings schema (TESTDATA.md) instead of a driver-side first()."""
     from sparkclone.vector import srp_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    return srp_topk(e, k=3, n_planes=3, n_tables=12, seed=42, dim=64)
+    return srp_topk(e, k=3, n_planes=None, n_tables=12, seed=42, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

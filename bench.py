@@ -71,7 +71,9 @@ def main() -> None:
     rows_to_parquet(rows, corpus_path)
 
     t0 = time.perf_counter()
-    out = run_pipeline(spark, load_corpus(spark, corpus_path), benchmark_config())
+    out = run_pipeline(
+        spark, load_corpus(spark, corpus_path), benchmark_config(), eager_metrics=False
+    )
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
     n_findings = out["findings"].count()
     wall = time.perf_counter() - t0
@@ -80,6 +82,31 @@ def main() -> None:
     extra["corpus_files_per_sec"] = round(len(rows) / wall, 2)
     extra["corpus_clusters"] = n_clusters
     extra["corpus_findings"] = n_findings
+
+    # --- incremental probe scan: rescan cost must scale with the diff ----
+    # base artifacts = checkpointed old-snapshot run; diff = ~1% of files
+    from sparkclone.incremental import incremental_scan_probe
+
+    changed_keys = {(r.repo, r.path) for i, r in enumerate(rows) if i % 100 == 0}
+    old_rows = [r for r in rows if (r.repo, r.path) not in changed_keys]
+    old_path = f"{tmp}/corpus_old.parquet"
+    rows_to_parquet(old_rows, old_path)
+    base = run_pipeline(
+        spark, load_corpus(spark, old_path), benchmark_config(),
+        checkpoint_dir=f"{tmp}/ck", eager_metrics=False,
+    )
+    base["findings"].count()  # materialize base checkpoints
+    t0 = time.perf_counter()
+    probe = incremental_scan_probe(
+        spark, load_corpus(spark, corpus_path), base["snippets"],
+        base["signatures"], load_corpus(spark, old_path), benchmark_config(),
+    )
+    extra["incremental_diff_findings"] = probe["diff_findings"].count()
+    timings["incremental_probe"] = round(time.perf_counter() - t0, 3)
+    extra["incremental_changed_files"] = probe["changed_files"].count()
+    extra["incremental_vs_full_ratio"] = round(
+        timings["incremental_probe"] / timings["pipeline_corpus"], 3
+    )
 
     # --- doc-level dedup pipeline over the sf documents table ------------
     t0 = time.perf_counter()

@@ -48,6 +48,12 @@ class CheckpointManager:
     config_hash: str
     root: str | None = None
     metrics: list[StageMetrics] = field(default_factory=list)
+    # eager=True materializes each in-memory stage with a count() —
+    # exact per-stage wall attribution at the cost of one job round per
+    # stage. eager=False persists lazily: the first downstream action
+    # materializes every cached stage in ONE job cascade (the
+    # coordination-floor saver for benchmark/throughput runs).
+    eager: bool = True
 
     def _stage_dir(self, stage: str) -> Path | None:
         if self.root is None:
@@ -71,14 +77,16 @@ class CheckpointManager:
         t0 = time.perf_counter()
         df = compute()
         if d is None:
-            # in-memory run: persist AND materialize eagerly so (a) the
-            # many downstream actions never recompute the upstream DAG,
-            # (b) wall_s measures this stage's real compute, not plan
-            # construction, and (c) a later cache eviction can't silently
-            # re-run Python kernels mid-query.
+            # in-memory run: persist so the many downstream actions never
+            # recompute the upstream DAG (a cache-evicted block recomputes
+            # its own partition only). With eager=True also materialize
+            # now, so wall_s measures this stage's real compute.
             df = df.persist()
-            n = df.count()
-            self.metrics.append(StageMetrics(stage, n, time.perf_counter() - t0, -1, {}))
+            if self.eager:
+                n = df.count()
+                self.metrics.append(StageMetrics(stage, n, time.perf_counter() - t0, -1, {}))
+            else:
+                self.metrics.append(StageMetrics(stage, -1, 0.0, -1, {}))
             return df
         d.parent.mkdir(parents=True, exist_ok=True)
         df.write.mode("overwrite").parquet(str(d))

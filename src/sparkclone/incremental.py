@@ -126,13 +126,16 @@ def incremental_scan_probe(
     all_snips = kept_base.unionByName(new_snips)
 
     # 2. global exact collapse (cheap, no Python), then per-snippet
-    # incremental signatures
+    # incremental signatures. reps feeds three consumers and signatures
+    # five (band table, two verification sides, two LCS text joins) —
+    # persist both or every consumer replays the collapse shuffle.
     reps, star_edges = collapse_exact(all_snips)
+    reps = reps.persist()
     cached = base_signatures.join(
         reps.select("snippet_id"), "snippet_id", "left_semi"
     )
     misses = reps.join(base_signatures.select("snippet_id"), "snippet_id", "left_anti")
-    signatures = cached.unionByName(with_signatures(misses, cfg.signature))
+    signatures = cached.unionByName(with_signatures(misses, cfg.signature)).persist()
 
     # 3. probe: changed reps' band rows vs the full band table
     bt_all = band_table(signatures)

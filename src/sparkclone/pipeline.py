@@ -140,12 +140,17 @@ def run_pipeline(
     corpus: DataFrame,
     cfg: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
+    eager_metrics: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage as a DataFrame.
 
     With ``checkpoint_dir`` set, each stage is persisted under
     ``{dir}/{config_hash}/{stage}`` and a rerun resumes from the last
     completed stage (kill/resume test in tests/test_resume.py).
+
+    ``eager_metrics=False`` skips the per-stage materializing count in
+    in-memory runs — one job cascade instead of one job round per stage
+    (per-stage wall attribution is lost; use for throughput runs).
     """
     from sparkclone.cluster import (
         attach_clusters,
@@ -159,7 +164,7 @@ def run_pipeline(
 
     ensure_shipped(spark)
     cfg = cfg or PipelineConfig()
-    ck = CheckpointManager(spark, cfg.config_hash(), checkpoint_dir)
+    ck = CheckpointManager(spark, cfg.config_hash(), checkpoint_dir, eager=eager_metrics)
 
     # The extraction stage is the Python-kernel-bound one (ast parsing in
     # mapInPandas): make sure it runs at full parallelism even when the

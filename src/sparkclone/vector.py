@@ -76,6 +76,16 @@ def _srp_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def auto_n_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count that keeps expected bucket size ~target_bucket:
+    buckets = 2^planes must grow with N or per-bucket pair generation
+    reverts to quadratic — the same reasoning as LSH band sizing. Floor
+    of 3 keeps recall high on small validation sets."""
+    import math
+
+    return max(3, int(math.log2(max(n_rows / float(target_bucket), 2.0))) + 1)
+
+
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane (sign of
     the dot product), packed into a long. Pure column expression — the
@@ -91,7 +101,7 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def srp_topk(
     df: DataFrame,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -119,6 +129,8 @@ def srp_topk(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucket_cols = []
     for t in range(n_tables):

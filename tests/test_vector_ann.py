@@ -9,8 +9,19 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 # Must match __spark_entry__._q_srp_ann_top3 so the gate covers the
-# driver-recorded query configuration.
-SRP_PARAMS = dict(k=3, n_planes=3, n_tables=12, seed=42, dim=64)
+# driver-recorded query configuration (n_planes=None -> auto, which
+# resolves to 3 at the 500-vector validation scale — pinned below).
+SRP_PARAMS = dict(k=3, n_planes=None, n_tables=12, seed=42, dim=64)
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from sparkclone.vector import auto_n_planes
+
+    assert auto_n_planes(500) == 3
+    assert auto_n_planes(5_000) == 7
+    assert auto_n_planes(5_000_000) == 17
+    # buckets ~N/64 keeps expected bucket size flat as N grows
+    assert 2 ** auto_n_planes(10**9) >= 10**9 // 128
 
 
 @pytest.fixture(scope="module")

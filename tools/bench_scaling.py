@@ -34,9 +34,17 @@ def main() -> None:
     corpus = load_corpus(spark, corpus_path)
     n_files = corpus.count()
 
+    import os
+
+    # default: lazy stage materialization (one job cascade — the
+    # coordination floor shrinker); SPARKCLONE_STAGE_METRICS=1 restores
+    # eager per-stage counts for attribution runs.
+    eager = os.environ.get("SPARKCLONE_STAGE_METRICS", "0") == "1"
     t0 = time.perf_counter()
     out = run_pipeline(
-        spark, corpus, cfg, checkpoint_dir=None if ck_root == "-" else ck_root
+        spark, corpus, cfg,
+        checkpoint_dir=None if ck_root == "-" else ck_root,
+        eager_metrics=eager,
     )
     # materialize the full result (findings + clusters)
     n_findings = out["findings"].count()
