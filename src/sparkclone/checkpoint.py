@@ -16,11 +16,17 @@ Layout:
 Resume rule: a stage directory with a parquet _SUCCESS marker short-circuits
 recompute (``load_or_compute``). Different config => different hash =>
 different directory, so stale state can never be read (the same guarantee
-as the reference's cache key, ``io/fingerprints.py:10-14``).
+as the reference's cache key, ``io/fingerprints.py:10-14``). The key also
+carries an INPUT fingerprint (sha256 of the corpus's backing file list,
+or a caller-supplied snapshot id — the Iceberg snapshot-id analogue), so
+the same config over a different corpus snapshot never resumes stale
+stages. Callers that overwrite input files in place or pre-filter the
+corpus differently between runs should pass an explicit ``snapshot_id``.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 from dataclasses import dataclass, field
@@ -28,6 +34,19 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def corpus_fingerprint(corpus: DataFrame) -> str:
+    """Cheap, deterministic input-snapshot id: sha256 of the sorted list
+    of files backing the DataFrame (driver-side listing only). Empty for
+    non-file sources — pass an explicit snapshot_id there."""
+    try:
+        files = sorted(corpus.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file source
+        files = []
+    if not files:
+        return "nofiles"
+    return hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest()[:12]
 
 
 @dataclass

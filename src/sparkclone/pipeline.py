@@ -141,6 +141,7 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
     eager_metrics: bool = True,
+    snapshot_id: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage as a DataFrame.
 
@@ -164,7 +165,15 @@ def run_pipeline(
 
     ensure_shipped(spark)
     cfg = cfg or PipelineConfig()
-    ck = CheckpointManager(spark, cfg.config_hash(), checkpoint_dir, eager=eager_metrics)
+    from sparkclone.checkpoint import corpus_fingerprint
+
+    # checkpoint key = config hash + input snapshot: same config over a
+    # DIFFERENT corpus snapshot must never resume the old snapshot's
+    # stages (the Iceberg analogue keys on snapshot id).
+    snap = snapshot_id or corpus_fingerprint(corpus)
+    ck = CheckpointManager(
+        spark, f"{cfg.config_hash()}-{snap}", checkpoint_dir, eager=eager_metrics
+    )
 
     # The extraction stage is the Python-kernel-bound one (ast parsing in
     # mapInPandas): make sure it runs at full parallelism even when the

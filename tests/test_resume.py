@@ -60,6 +60,23 @@ def test_metrics_lineage_recorded(spark, corpus_parquet, tmp_path):
             assert m["wall_s"] >= 0
 
 
+def test_input_snapshot_isolates_checkpoints(spark, corpus_rows, tmp_path):
+    """Same config over a DIFFERENT corpus snapshot must not resume the
+    old snapshot's checkpoints (key carries the input fingerprint)."""
+    from sparkclone.config import benchmark_config
+    from sparkclone.corpus import rows_to_parquet
+
+    a_pq = str(tmp_path / "a.parquet")
+    b_pq = str(tmp_path / "b.parquet")
+    rows_to_parquet(corpus_rows, a_pq)
+    rows_to_parquet(corpus_rows[: len(corpus_rows) - 5], b_pq)
+    ck = str(tmp_path / "ck")
+    cfg = benchmark_config()
+    run_pipeline(spark, load_corpus(spark, a_pq), cfg, checkpoint_dir=ck)
+    out_b = run_pipeline(spark, load_corpus(spark, b_pq), cfg, checkpoint_dir=ck)
+    assert not any(m.resumed for m in out_b["metrics"].metrics)
+
+
 def test_config_hash_isolates_checkpoints(spark, corpus_parquet, tmp_path):
     """A different config must not read the other config's checkpoints."""
     from dataclasses import replace
