@@ -85,9 +85,12 @@ def incremental_scan_probe(
         band rows against the full band table, so pair volume scales
         with the changed buckets (the north rule's probe-side reserve).
 
-    Exact-dup collapse is recomputed over the merged snippet set — it is
-    a pure hash groupBy over precomputed columns (no Python, one
-    shuffle), and rep selection must stay global for star-edge parity.
+    Exact-dup collapse is recomputed ONLY for affected token-set groups
+    (a group is affected when it gains a member from a changed file or
+    loses one from a changed/deleted file). An unaffected group has
+    identical membership in both corpus states, so its base
+    representative, star edges, and signature remain valid and are kept
+    via broadcast anti-joins — the full corpus is never shuffled.
 
     EXP snippets: call expansion reads the cross-file call graph, so
     probe mode requires ``cfg.expansion.enabled == False`` (full rescan
@@ -109,46 +112,94 @@ def incremental_scan_probe(
     if cfg.expansion.enabled:
         raise ValueError("probe-side incremental scan does not support EXP expansion")
 
-    changed = changed_files(corpus_new, corpus_old).persist()
+    # localCheckpoint (not persist) throughout: the probe dataflow is a
+    # DAG — signatures feeds four consumers, affected three — and an
+    # uncut logical plan re-embeds the whole upstream tree per branch
+    # until Catalyst spends minutes optimizing a ~MB plan (measured:
+    # 105 s to verify 3 rows). Truncating lineage keeps planning O(stages).
+    changed = changed_files(corpus_new, corpus_old).localCheckpoint(eager=True)
     changed_fp = changed.select(F.col("fpath").alias("__chfp"))
+    new_paths = corpus_new.select(F.concat_ws("/", "repo", "path").alias("fpath"))
+    old_paths = corpus_old.select(F.concat_ws("/", "repo", "path").alias("fpath"))
+    # paths whose snippets leave the corpus state: changed (replaced) or
+    # deleted (present in old only)
+    gone_fp = (
+        old_paths.join(new_paths, "fpath", "left_anti")
+        .unionByName(changed.select("fpath"))
+        .dropDuplicates()
+        .select(F.col("fpath").alias("__gonefp"))
+        .localCheckpoint(eager=True)
+    )
 
-    # 1. extract ONLY changed files; reuse everything else from base
+    # 1. extract ONLY changed files; everything else stays parquet-side
     changed_corpus = corpus_new.join(
         F.broadcast(changed.select("repo", "path")), ["repo", "path"], "left_semi"
     )
-    new_snips = tokenize_snippets(extract_snippets(changed_corpus, cfg.windows), cfg)
-    live_paths = corpus_new.select(
-        F.concat_ws("/", "repo", "path").alias("__livefp")
-    ).dropDuplicates()
-    kept_base = base_snippets.join(
-        F.broadcast(changed_fp), base_snippets["path"] == F.col("__chfp"), "left_anti"
-    ).join(live_paths, base_snippets["path"] == F.col("__livefp"), "left_semi")
-    all_snips = kept_base.unionByName(new_snips)
+    new_snips = tokenize_snippets(
+        extract_snippets(changed_corpus, cfg.windows), cfg
+    ).localCheckpoint(eager=True)
 
-    # 2. global exact collapse (cheap, no Python), then per-snippet
-    # incremental signatures. reps feeds three consumers and signatures
-    # five (band table, two verification sides, two LCS text joins) —
-    # persist both or every consumer replays the collapse shuffle.
-    reps, star_edges = collapse_exact(all_snips)
-    reps = reps.persist()
-    cached = base_signatures.join(
-        reps.select("snippet_id"), "snippet_id", "left_semi"
+    # 2. AFFECTED token-set groups: any group that gains a member (new
+    # snippets) or loses one (base snippets at changed/deleted paths).
+    # Unaffected groups have identical membership in old and new corpus
+    # state, so their base representative AND its signature stay valid —
+    # they are kept via broadcast anti-joins, never shuffled. Collapse +
+    # signing then run over affected groups only: every stage below
+    # scales with the diff, not the corpus.
+    affected = (
+        new_snips.select("tokenset_hash")
+        .unionByName(
+            base_snippets.join(
+                F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_semi"
+            ).select("tokenset_hash")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
-    misses = reps.join(base_signatures.select("snippet_id"), "snippet_id", "left_anti")
-    signatures = cached.unionByName(with_signatures(misses, cfg.signature)).persist()
+    kept_base = base_snippets.join(
+        F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_anti"
+    )
+    all_snips = kept_base.unionByName(new_snips)
+    aff_snips = all_snips.join(F.broadcast(affected), "tokenset_hash", "left_semi")
+    reps_sub, star_edges = collapse_exact(aff_snips)
+    reps_sub = reps_sub.localCheckpoint(eager=True)
+    star_edges = star_edges.localCheckpoint(eager=True)
 
-    # 3. probe: changed reps' band rows vs the full band table
+    # per-snippet signature cache for the affected reps (content-addressed
+    # left-anti reuse — the reference's embedding-cache analogue); the
+    # unaffected base signatures join in untouched
+    cached_sub = base_signatures.join(
+        F.broadcast(reps_sub.select("snippet_id")), "snippet_id", "left_semi"
+    )
+    misses = reps_sub.drop("norm_text", "text_hash").join(
+        F.broadcast(cached_sub.select("snippet_id")), "snippet_id", "left_anti"
+    )
+    live_fp = new_paths.dropDuplicates().select(F.col("fpath").alias("__livefp"))
+    keep_base_sigs = (
+        base_signatures.join(F.broadcast(affected), "tokenset_hash", "left_anti")
+        .join(F.broadcast(live_fp), base_signatures["path"] == F.col("__livefp"), "left_semi")
+    )
+    signatures = keep_base_sigs.unionByName(
+        cached_sub.unionByName(with_signatures(misses, cfg.signature))
+    ).localCheckpoint(eager=True)
+
+    # 3. probe: changed reps' band rows vs the full band table (band rows
+    # of the unaffected side are produced by a narrow explode and
+    # filtered by broadcast bucket keys — see probe_candidate_pairs)
     bt_all = band_table(signatures)
-    changed_rep_ids = reps.join(
-        F.broadcast(changed_fp), reps["path"] == F.col("__chfp"), "left_semi"
+    changed_rep_ids = reps_sub.join(
+        F.broadcast(changed_fp), reps_sub["path"] == F.col("__chfp"), "left_semi"
     ).select(F.col("snippet_id").alias("id"))
     pairs = probe_candidate_pairs(bt_all, changed_rep_ids, cfg.lsh)
 
     verified = with_lcs_evidence(
-        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, signatures
+        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, all_snips
     )
     from sparkclone.pipeline import _EDGE_COLS
 
+    # star edges are already diff-proportional (collapse ran over the
+    # affected groups only); non-changed-touching ones among them are
+    # dropped by the final filter
     edges = verified.select(*_EDGE_COLS).unionByName(star_edges.select(*_EDGE_COLS))
     findings = rollup_findings(edges, cfg.thresholds)
     diff_findings = diff_filter_findings(findings, changed)

@@ -140,25 +140,42 @@ def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
 def probe_candidate_pairs(
     bt_all: DataFrame, probe_ids: DataFrame, cfg: LshConfig
 ) -> DataFrame:
-    """Asymmetric pair generation for incremental scans: only band rows
-    of ``probe_ids`` (the changed side) are joined against the full band
-    table, so pair volume scales with the changed buckets. Bucket
-    eligibility (>= 2 members, <= max_bucket_size) matches
-    :func:`candidate_pairs` exactly so a probe run emits the same
-    changed-touching pair set as a full run; the probe side is small by
-    construction, so no salting is needed. Pairs are canonicalized with
-    least/greatest (the probe row may carry either side of a pair)."""
-    sizes = (
-        bt_all.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("bsize"))
-        .where(F.col("bsize") >= 2)
+    """Asymmetric pair generation for incremental scans: only the
+    CHANGED side's buckets participate, so no full-corpus shuffle exists
+    in candidate generation. Shuffle discipline:
+
+      1. the probe side's band rows come from a broadcast semi-join of
+         the band table against the (small) changed-rep id set — narrow;
+      2. their distinct bucket keys are broadcast back to filter the
+         band table to candidate buckets — narrow scan-filter, the full
+         band table is never shuffled;
+      3. bucket eligibility (>= 2 members, <= max_bucket_size) is
+         counted over the filtered rows only — identical outcome to
+         :func:`candidate_pairs` for every bucket that matters (a probe
+         bucket's member count is the same in both), so a probe run
+         emits exactly the full run's changed-touching pair set;
+      4. the pair join shuffles only candidate-bucket members.
+
+    The probe side is small by construction, so no salting. Pairs are
+    canonicalized with least/greatest (the probe row may carry either
+    side of a pair)."""
+    probe_bands = bt_all.join(
+        F.broadcast(probe_ids.select(F.col("id").alias("__pid"))),
+        bt_all["id"] == F.col("__pid"),
+        "left_semi",
     )
+    probe_buckets = probe_bands.select("band_id", "band_hash").dropDuplicates()
+    cand_rows = bt_all.join(F.broadcast(probe_buckets), ["band_id", "band_hash"], "left_semi")
     cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
-    eligible = bt_all.join(
-        sizes.where(F.col("bsize") <= cap).drop("bsize"), ["band_id", "band_hash"]
+    sizes = (
+        cand_rows.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsize"))
+        .where((F.col("bsize") >= 2) & (F.col("bsize") <= cap))
+        .drop("bsize")
     )
+    eligible = cand_rows.join(F.broadcast(sizes), ["band_id", "band_hash"])
     probe = eligible.join(
-        probe_ids.select(F.col("id").alias("__pid")),
+        F.broadcast(probe_ids.select(F.col("id").alias("__pid"))),
         eligible["id"] == F.col("__pid"),
         "left_semi",
     )

@@ -49,20 +49,29 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
 
 
 def tokenize_snippets(snippets: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Append token set / token hashes / text hash columns (all JVM-side)
-    and drop rows that can never match: empty token sets score Jaccard 0.0
-    in the reference (lexical.py:9-10) and pathologically long texts are
-    dropped defensively with a metric (reference has no cap; windows are
-    <= window_lines lines so only machine-generated whole-function blobs
-    hit this)."""
+    """Append token hashes / text hash / tokenset hash columns (all
+    JVM-side) and drop rows that can never match: empty token sets score
+    Jaccard 0.0 in the reference (lexical.py:9-10) and pathologically
+    long texts are dropped defensively with a metric (reference has no
+    cap; windows are <= window_lines lines so only machine-generated
+    whole-function blobs hit this).
+
+    The string token array itself is DROPPED here: everything downstream
+    (Jaccard verification, MinHash/SimHash, exact collapse) consumes the
+    xxhash64 token-hash array or the tokenset hash — keeping the strings
+    would fatten the collapse shuffle and every checkpoint by ~a third
+    for no consumer."""
+    toks = tokens_col(F.col("norm_text"))
     return (
-        snippets.withColumn("tokens", tokens_col(F.col("norm_text")))
+        snippets.withColumn("tokens", toks)
         .withColumn("text_hash", F.sha2("norm_text", 256))
         .where(
             (F.size("tokens") > 0)
             & (F.length("norm_text") <= F.lit(cfg.lsh.max_text_chars))
         )
         .withColumn("token_hashes", token_hashes_col(F.col("tokens")))
+        .withColumn("tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens"))))
+        .drop("tokens")
     )
 
 
@@ -87,9 +96,13 @@ def collapse_exact(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
       lcs_chars is text length when the raw texts are also identical,
       null otherwise (char-level LCS undefined without the texts).
     """
-    keyed = tokenized.withColumn(
-        "tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens")))
-    )
+    keyed = tokenized
+    if "tokenset_hash" not in keyed.columns:
+        # tokenize_snippets normally precomputes this; recompute only for
+        # callers feeding raw token arrays
+        keyed = keyed.withColumn(
+            "tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens")))
+        )
     w = Window.partitionBy("tokenset_hash")
     with_rep = keyed.withColumn("rep_id", F.min("snippet_id").over(w))
     reps = with_rep.where(F.col("snippet_id") == F.col("rep_id")).drop("rep_id")
@@ -194,7 +207,15 @@ def run_pipeline(
 
     snippets = ck.load_or_compute("snippets", _snippets)
     reps, star_edges = collapse_exact(snippets)
-    signatures = ck.load_or_compute("signatures", lambda: with_signatures(reps, cfg.signature))
+    # signatures drop the normalized text: every downstream consumer
+    # (band table, verification sides) works on hashes/metadata, and the
+    # LCS evidence join reads texts from the snippets stage for its tiny
+    # SimHash-gated subset — keeping text here would fatten the widest
+    # checkpoint and the verification joins for nothing.
+    signatures = ck.load_or_compute(
+        "signatures",
+        lambda: with_signatures(reps.drop("norm_text", "text_hash"), cfg.signature),
+    )
 
     # Single invocation of candidate_pairs feeds BOTH checkpointed stages:
     # bucket_stats derives from the (persisted) bucket-size aggregate the
@@ -212,7 +233,7 @@ def run_pipeline(
 
     def _verified() -> DataFrame:
         v = verify_pairs(attach_sides(pairs, signatures), cfg)
-        v = with_lcs_evidence(v, cfg, signatures)
+        v = with_lcs_evidence(v, cfg, snippets)
         return v.select(*_EDGE_COLS)
 
     verified = ck.load_or_compute("verified", _verified)
