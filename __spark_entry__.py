@@ -518,14 +518,20 @@ def _q_clone_clusters_docs(spark, sf_dir):
     from sparkclone.cluster import connected_components
     from sparkclone.config import ClusterConfig
 
-    edges = _q_near_dup_pairs(spark, sf_dir).select(
-        F.col("doc_a").cast("string").alias("ua"),
-        F.col("doc_b").cast("string").alias("ub"),
+    # the verified near-dup join is the expensive input and CC + the
+    # rep/membership joins consume it several times — materialize once
+    edges = (
+        _q_near_dup_pairs(spark, sf_dir)
+        .select(
+            F.col("doc_a").cast("string").alias("ua"),
+            F.col("doc_b").cast("string").alias("ub"),
+        )
+        .localCheckpoint(eager=True)
     )
     cc = connected_components(edges, ClusterConfig(), src="ua", dst="ub", dense_ids=False)
     mem = cc.select(
         F.col("unit_id").cast("long").alias("doc_id"), F.col("cluster_id").alias("lbl")
-    )
+    ).localCheckpoint(eager=True)
     rep = mem.groupBy("lbl").agg(F.min("doc_id").alias("cluster_rep"))
     clustered = mem.join(rep, "lbl").select("doc_id", "cluster_rep")
     docs = _docs(spark, sf_dir).select("doc_id")
