@@ -111,7 +111,7 @@ def test_media_feature_extraction(spark):
         [(1, "image", "fake-png-bytes"), (2, "image", "fake-png-bytes"), (3, "audio", "other")],
         ["media_id", "kind", "data"],
     )
-    feats = extract_media_features(media).orderBy("media_id").collect()
+    feats = extract_media_features(media, use_fake_decoder=True).orderBy("media_id").collect()
     assert len(feats) == 3
     assert all(len(f["feature"]) == FEATURE_DIM for f in feats)
     # deterministic fake: identical bytes => identical features & md5
@@ -120,12 +120,16 @@ def test_media_feature_extraction(spark):
     assert feats[0]["feature"] != feats[2]["feature"]
 
 
-def test_media_real_decoder_is_marked_stub(spark):
+def test_media_real_decoder_skips_codec_formats(spark):
+    """The real-decoder path never crashes on undecodable payloads: it
+    yields a NULL feature with the reason in decode_status (full decode
+    coverage for BMP/netpbm/WAV lives in tests/test_media_decode.py)."""
     from sparkclone.media import extract_media_features
 
     media = spark.createDataFrame([(1, "image", "x")], ["media_id", "kind", "data"])
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        extract_media_features(media, use_fake_decoder=False).collect()
+    row = extract_media_features(media, use_fake_decoder=False).collect()[0]
+    assert row["decode_status"] == "unknown:unsupported"
+    assert row["feature"] is None
 
 
 def test_frame_sample_plan(spark):
