@@ -56,6 +56,39 @@ def test_dense_ids_deterministic(spark):
             assert cid == 2
 
 
+def test_distributed_loop_matches_driver_union_find(spark):
+    """Force the iterative min-label DataFrame loop (small_graph_edges=0)
+    and check it produces the exact same membership as the driver-side
+    union-find on a graph with chains, cliques, and singleton-free mix —
+    the billion-edge path must agree with the exact small path."""
+    from sparkclone.cluster import connected_components
+    from sparkclone.config import ClusterConfig
+
+    edges = [
+        # chain of 5
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"),
+        # clique of 4
+        ("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"), ("k3", "k4"),
+        # star
+        ("s0", "s1"), ("s0", "s2"), ("s0", "s3"),
+        # pair + self edge
+        ("p1", "p2"), ("p1", "p1"),
+    ]
+    df = spark.createDataFrame(edges, "unit_a string, unit_b string")
+
+    def membership(cfg):
+        rows = connected_components(df, cfg).collect()
+        comp: dict[int, set[str]] = {}
+        for r in rows:
+            comp.setdefault(r["cluster_id"], set()).add(r["unit_id"])
+        return sorted(frozenset(m) for m in comp.values())
+
+    small = membership(ClusterConfig())
+    distributed = membership(ClusterConfig(small_graph_edges=0, max_iterations=25))
+    assert small == distributed
+    assert sorted(len(m) for m in distributed) == [2, 4, 4, 5]
+
+
 def test_filter_clusters_counts_findings(spark):
     """min-size filter counts FINDINGS per cluster (clustering.py:46-55):
     cluster with 1 finding dropped at min_size=2 even with 2 members."""
