@@ -327,6 +327,51 @@ def _q_label_centroid_norms(spark, sf_dir):
     )
 
 
+def _q_doc_subword_stats(spark, sf_dir):
+    """BPE-ish token counting (training-data op): alpha runs, digit runs,
+    and single non-space symbols counted separately — the pre-merge vocab
+    a byte-pair tokenizer starts from, vs the identifier tokens of
+    doc_token_stats."""
+    d = _docs(spark, sf_dir)
+    sub = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+    alpha = F.size(F.filter(sub, lambda t: t.rlike("^[a-z]+$")))
+    digit = F.size(F.filter(sub, lambda t: t.rlike("^[0-9]+$")))
+    return d.select(
+        "doc_id",
+        F.size(sub).cast("long").alias("n_subtokens"),
+        alpha.cast("long").alias("n_alpha"),
+        digit.cast("long").alias("n_digit"),
+        (F.size(sub) - alpha - digit).cast("long").alias("n_symbol"),
+    )
+
+
+def _q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the vector-dedup modality:
+    candidates share the sign pattern of the first 8 dimensions (a
+    deterministic 1-table SRP bucket, SQL-expressible so the oracle
+    computes the identical bucketing), verified at exact cosine >= 0.30
+    (calibrated to the synthetic embeddings, whose in-bucket cosine tops
+    out near 0.43 — a 0-row check would verify nothing).
+    The production path swaps the deterministic bucket for multi-table
+    random SRP (srp_topk); the join shape is identical."""
+    from sparkclone.vector import cosine
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for i in range(8):
+        bucket = bucket + (F.element_at("embedding", i + 1) > 0).cast("long") * F.lit(1 << i)
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a_side = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b_side = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a_side.join(b_side, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .where(F.col("cosine") >= 0.30)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def _q_simhash16_docs(spark, sf_dir):
     from sparkclone.textops import simhash16
 
@@ -589,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_subword_stats": _q_doc_subword_stats,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "simhash16_docs": _q_simhash16_docs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "kmv_jaccard_pairs": _q_kmv_jaccard_pairs,
@@ -697,6 +744,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE list_sort([md5(substr(text, i, 5)) for i in range(1, length(text) - 3)])[1]
                    END AS fp
             FROM documents
+        """,
+        "doc_subword_stats": """
+            SELECT doc_id,
+                   CAST(len(sub) AS BIGINT) AS n_subtokens,
+                   CAST(len(list_filter(sub, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS n_alpha,
+                   CAST(len(list_filter(sub, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_digit,
+                   CAST(len(sub)
+                        - len(list_filter(sub, t -> regexp_full_match(t, '[a-z]+')))
+                        - len(list_filter(sub, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_symbol
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS sub
+                  FROM documents)
+        """,
+        "embedding_near_dup_pairs": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                   + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                   + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                   + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+              FROM embeddings
+            )
+            SELECT vec_a, vec_b, cosine FROM (
+              SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                     round(
+                       list_reduce(list_prepend(0.0,
+                         [CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)
+                          for i in range(1, len(a.embedding) + 1)]), (x,y) -> x+y)
+                       / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
+                          * sqrt(list_reduce(list_prepend(0.0, list_transform(b2.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
+                     , 4) AS cosine
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            ) WHERE cosine >= 0.30
         """,
         "simhash16_docs": f"""
             {_SIMHASH16_CTE}
