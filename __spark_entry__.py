@@ -551,6 +551,13 @@ def _q_top_parts(spark, sf_dir):
     )
 
 
+# clusters + sizes both consume this result (and building it runs the
+# expensive verified pair join + CC eagerly via localCheckpoint) —
+# memoize per (session, sf_dir) so a driver run evaluating both queries
+# computes the components once
+_CC_DOCS_CACHE: dict = {}
+
+
 def _q_clone_clusters_docs(spark, sf_dir):
     """Connected components (cluster.py, SURVEY A6) over the
     oracle-checkable near-dup edge set that `near_dup_pairs` defines
@@ -562,6 +569,10 @@ def _q_clone_clusters_docs(spark, sf_dir):
     """
     from sparkclone.cluster import connected_components
     from sparkclone.config import ClusterConfig
+
+    key = (id(spark), sf_dir)
+    if key in _CC_DOCS_CACHE:
+        return _CC_DOCS_CACHE[key]
 
     # the verified near-dup join is the expensive input and CC + the
     # rep/membership joins consume it several times — materialize once
@@ -580,9 +591,11 @@ def _q_clone_clusters_docs(spark, sf_dir):
     rep = mem.groupBy("lbl").agg(F.min("doc_id").alias("cluster_rep"))
     clustered = mem.join(rep, "lbl").select("doc_id", "cluster_rep")
     docs = _docs(spark, sf_dir).select("doc_id")
-    return docs.join(clustered, "doc_id", "left").select(
+    result = docs.join(clustered, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep")
     )
+    _CC_DOCS_CACHE[key] = result
+    return result
 
 
 def _q_clone_cluster_sizes_docs(spark, sf_dir):

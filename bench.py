@@ -108,6 +108,11 @@ def main() -> None:
         timings["incremental_probe"] / timings["pipeline_corpus"], 3
     )
 
+    # drop the corpus sections' cached stages before the next section —
+    # persisted frames from prior run_pipeline calls otherwise accumulate
+    # in storage memory for the rest of the session
+    spark.catalog.clearCache()
+
     # --- doc-level dedup pipeline over the sf documents table ------------
     # (the full pipeline query — same computation this bench key timed in
     # round 1, since renamed to clone_pipeline_cluster_sizes; the

@@ -99,6 +99,9 @@ def _cli_overrides(args: argparse.Namespace) -> dict:
     }
     if thresholds:
         ov["thresholds"] = thresholds
+    # Any expansion flag implies enabled=True — the reference does the
+    # same (cli/commands/scan.py:141-149: expand_depth/expand_max_chars
+    # set `{"enabled": True, ...}` without requiring --expand-calls).
     if args.expand_calls or args.expand_depth is not None or args.expand_max_chars is not None:
         exp: dict = {"enabled": True}
         if args.expand_depth is not None:
@@ -148,9 +151,14 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
-    # Backward-compatible flags-only invocation == `scan`.
+    # Backward-compatible flags-only invocation == `scan` with NO repotype
+    # preset filtering (the legacy CLI scanned the whole corpus unless
+    # globs were passed; the `scan` subcommand defaults to the reference's
+    # monorepo preset union instead).
     if argv and argv[0].startswith("-"):
         argv = ["scan", *argv]
+        if "--repotype" not in argv:
+            argv += ["--repotype", "none"]
     args = build_parser().parse_args(argv)
     if args.command is None:
         build_parser().print_help()
@@ -189,6 +197,18 @@ def main(argv: list[str] | None = None) -> int:
     if include_globs or exclude_globs:
         corpus = filter_corpus(corpus, include_globs, exclude_globs)
     checkpoint_dir = args.checkpoint_dir or settings.checkpoint_dir
+    # the checkpoint key must see the glob filtering: a .where() does not
+    # change corpus.inputFiles(), so two differently-filtered scans of
+    # the same files would otherwise share (stale) checkpoints
+    import hashlib
+
+    from sparkclone.checkpoint import corpus_fingerprint
+
+    snapshot_id = hashlib.sha256(
+        "\x1f".join(
+            [corpus_fingerprint(corpus), *sorted(include_globs), "\x1e", *sorted(exclude_globs)]
+        ).encode("utf-8")
+    ).hexdigest()[:12]
 
     if args.command == "diff":
         from sparkclone.incremental import incremental_scan
@@ -196,7 +216,10 @@ def main(argv: list[str] | None = None) -> int:
         base = load_corpus(spark, args.base_corpus)
         if include_globs or exclude_globs:
             base = filter_corpus(base, include_globs, exclude_globs)
-        out = incremental_scan(spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir)
+        out = incremental_scan(
+            spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir,
+            snapshot_id=snapshot_id,
+        )
         findings = out["diff_findings"]
         stats = {
             "file_count": corpus.count(),
@@ -206,7 +229,9 @@ def main(argv: list[str] | None = None) -> int:
             "finding_count": findings.count(),
         }
     else:
-        out = run_pipeline(spark, corpus, cfg, checkpoint_dir=checkpoint_dir)
+        out = run_pipeline(
+            spark, corpus, cfg, checkpoint_dir=checkpoint_dir, snapshot_id=snapshot_id
+        )
         findings = out["findings_clustered"] if settings.cluster_findings else out["findings"]
         stats = {
             "file_count": corpus.count(),

@@ -46,6 +46,7 @@ def incremental_scan(
     corpus_old: DataFrame,
     cfg=None,
     checkpoint_dir: str | None = None,
+    snapshot_id: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline over the new corpus + diff-filtered findings
     (mirrors run_diff's full-scan-then-filter, diff.py:36-69). For rescan
@@ -53,7 +54,9 @@ def incremental_scan(
     :func:`incremental_scan_probe`."""
     from sparkclone.pipeline import run_pipeline
 
-    out = run_pipeline(spark, corpus_new, cfg, checkpoint_dir=checkpoint_dir)
+    out = run_pipeline(
+        spark, corpus_new, cfg, checkpoint_dir=checkpoint_dir, snapshot_id=snapshot_id
+    )
     ch = changed_files(corpus_new, corpus_old)
     out["changed_files"] = ch
     out["diff_findings"] = diff_filter_findings(out["findings"], ch)

@@ -156,6 +156,8 @@ def image_feature(px: np.ndarray) -> np.ndarray:
     resize / flatten, the minimal real image-feature pipeline."""
     gray = px.astype(np.float32).mean(axis=2)
     h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("zero-sized image")
     rows = (np.arange(_GRID) * h) // _GRID
     cols = (np.arange(_GRID) * w) // _GRID
     return (gray[np.ix_(rows, cols)] / 255.0).astype(np.float32).ravel()
@@ -198,7 +200,9 @@ def decode_feature(data: bytes) -> tuple[str, np.ndarray | None]:
             return fmt, image_feature(decode_netpbm(data))
         if fmt == "wav":
             return fmt, audio_feature(decode_wav(data))
-    except (ValueError, struct.error, wave.Error, EOFError):
+    except (ValueError, struct.error, wave.Error, EOFError, IndexError):
+        # IndexError backstops degenerate geometry (0-width/height images)
+        # — the contract is skip-and-count, never a task failure
         return f"{fmt}:error", None
     return f"{fmt}:unsupported", None
 

@@ -221,8 +221,11 @@ def _render_finding(r: dict, texts: dict) -> str:
     esc = html_mod.escape
 
     def span(unit_id: str) -> str:
-        path, _q, s, e = str(unit_id).rsplit(":", 3)
-        return f"{path}:{s}-{e}"
+        parts = str(unit_id).rsplit(":", 3)
+        if len(parts) == 4:
+            path, _q, s, e = parts
+            return f"{path}:{s}-{e}"
+        return str(unit_id)  # foreign id shape (e.g. imported findings)
 
     ta, tb = texts.get(r["unit_a"]), texts.get(r["unit_b"])
     if ta is not None and tb is not None:
@@ -275,12 +278,19 @@ def write_html_report(
 
 
 def _unit_location(unit_id: str) -> dict[str, Any]:
-    # unit_id = path:qualname:start:end
-    path, _qual, start, end = unit_id.rsplit(":", 3)
+    # unit_id = path:qualname:start:end; tolerate foreign id shapes
+    parts = str(unit_id).rsplit(":", 3)
+    if len(parts) != 4:
+        return {"physicalLocation": {"artifactLocation": {"uri": str(unit_id)}}}
+    path, _qual, start, end = parts
+    try:
+        region = {"startLine": int(start), "endLine": int(end)}
+    except ValueError:
+        return {"physicalLocation": {"artifactLocation": {"uri": str(unit_id)}}}
     return {
         "physicalLocation": {
             "artifactLocation": {"uri": path},
-            "region": {"startLine": int(start), "endLine": int(end)},
+            "region": region,
         }
     }
 

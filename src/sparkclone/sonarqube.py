@@ -26,12 +26,17 @@ def _side_cols(side: str) -> list:
     s = F.col(f"d.{side}")
     start = F.coalesce(s["start"].try_cast("int"), F.lit(1))
     end = F.coalesce(s["end"].try_cast("int"), start)
-    name = F.coalesce(s["name"], s["path"])
+    # empty-string defaults keep the unit id 4-part (path:name:start:end)
+    # even when fields are null — concat_ws would silently DROP nulls and
+    # emit a short id the reporters can't parse (the reference's
+    # _to_function defaults path/name to "" the same way)
+    path = F.coalesce(s["path"], F.lit(""))
+    name = F.coalesce(s["name"], path)
     return [
         F.concat_ws(
-            ":", s["path"], name, start.cast("string"), end.cast("string")
+            ":", path, name, start.cast("string"), end.cast("string")
         ).alias(f"unit_{side}"),
-        s["path"].alias(f"path_{side}"),
+        path.alias(f"path_{side}"),
         start.alias(f"start_{side}"),
         end.alias(f"end_{side}"),
     ]
