@@ -51,6 +51,20 @@ def test_probe_incremental_matches_full_rescan(spark, tmp_path):
     )
 
 
+def test_probe_rejects_expansion_config(spark):
+    """EXP reads the cross-file call graph, so probe mode must refuse it
+    explicitly rather than silently miss expansion-only findings."""
+    from dataclasses import replace
+
+    import pytest
+
+    from sparkclone.config import ExpansionConfig
+
+    cfg = replace(benchmark_config(), expansion=ExpansionConfig(enabled=True))
+    with pytest.raises(ValueError, match="EXP"):
+        incremental_scan_probe(spark, None, None, None, None, cfg)
+
+
 def test_probe_handles_deleted_files(spark, tmp_path):
     """A file deleted in the new snapshot must not contribute findings
     from stale base snippets."""
