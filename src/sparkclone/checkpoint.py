@@ -85,14 +85,27 @@ class CheckpointManager:
 
     def load_or_compute(self, stage: str, compute) -> DataFrame:
         """Return the checkpointed stage if present, else compute, persist,
-        and record per-partition lineage + wall time."""
+        and record per-partition lineage + wall time.
+
+        A checkpoint that carries a _SUCCESS marker but fails to read
+        (truncated/corrupted parquet — e.g. a crash mid-copy or storage
+        fault) is discarded and recomputed, mirroring the reference
+        cache's corruption recovery (embedding/cache.py handles corrupt
+        SQLite by rebuilding; tests/test_embedding_cache.py)."""
         d = self._stage_dir(stage)
         if d is not None and (d / "_SUCCESS").exists():
-            df = self.spark.read.parquet(str(d))
-            self.metrics.append(
-                StageMetrics(stage, df.count(), 0.0, df.rdd.getNumPartitions(), {}, resumed=True)
-            )
-            return df
+            try:
+                df = self.spark.read.parquet(str(d))
+                n = df.count()  # forces a full read — surfaces corruption now
+            except Exception:  # noqa: BLE001 — any unreadable checkpoint
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                self.metrics.append(
+                    StageMetrics(stage, n, 0.0, df.rdd.getNumPartitions(), {}, resumed=True)
+                )
+                return df
         t0 = time.perf_counter()
         df = compute()
         if d is None:

@@ -60,6 +60,29 @@ def test_metrics_lineage_recorded(spark, corpus_parquet, tmp_path):
             assert m["wall_s"] >= 0
 
 
+def test_corrupted_checkpoint_recomputed(spark, corpus_parquet, tmp_path):
+    """A stage directory with _SUCCESS but unreadable parquet (crash
+    mid-copy, storage fault) must be discarded and recomputed with
+    identical output — the reference cache's corruption-recovery
+    semantics (tests/test_embedding_cache.py)."""
+    ck = str(tmp_path / "ckc")
+    corpus = load_corpus(spark, corpus_parquet)
+    cfg = benchmark_config()
+    out1 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    key1 = _findings_key(out1)
+
+    # corrupt every parquet part of the signatures stage, keep _SUCCESS
+    for part in glob.glob(f"{ck}/*/signatures/part-*"):
+        with open(part, "wb") as f:
+            f.write(b"not parquet at all")
+
+    out2 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    resumed = [m.stage for m in out2["metrics"].metrics if m.resumed]
+    assert "signatures" not in resumed
+    assert "snippets" in resumed
+    assert _findings_key(out2) == key1
+
+
 def test_input_snapshot_isolates_checkpoints(spark, corpus_rows, tmp_path):
     """Same config over a DIFFERENT corpus snapshot must not resume the
     old snapshot's checkpoints (key carries the input fingerprint)."""
