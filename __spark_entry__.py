@@ -617,7 +617,10 @@ def _q_clone_pipeline_cluster_sizes(spark, sf_dir):
     from sparkclone.pipeline import run_pipeline
 
     corpus = documents_as_corpus(_docs(spark, sf_dir))
-    out = run_pipeline(spark, corpus, _doc_pipeline_config())
+    # eager_metrics=False: per-stage persist+count rounds are an
+    # attribution tool, not part of the query — one job cascade instead
+    # (the r2 bench regression was exactly this eager-metrics floor).
+    out = run_pipeline(spark, corpus, _doc_pipeline_config(), eager_metrics=False)
     return out["cluster_sizes"].select("cluster_id", "member_count", "cluster_root")
 
 

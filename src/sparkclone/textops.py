@@ -56,8 +56,16 @@ def minhash_md5(items: Column, k: int = 4) -> Column:
 
 
 def band_bucket(minhash: Column, band: int = 1) -> Column:
-    """An LSH band key: 8-hex prefix of the band-th minhash value."""
-    return F.substring(F.element_at(minhash, band), 1, 8)
+    """An LSH band key: 8-hex prefix of the band-th minhash value.
+
+    ``try_element_at`` (not ``element_at``): a document whose token set is
+    empty has an empty ``minhash_md5`` sketch, and Spark 4's default ANSI
+    mode turns the out-of-bounds ``element_at`` into a runtime
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash. The NULL bucket this returns
+    instead mirrors the SQL oracle exactly (DuckDB ``list[1]`` on an empty
+    list is NULL), so empty-token docs group under a NULL bucket on both
+    engines."""
+    return F.substring(F.try_element_at(minhash, F.lit(band)), 1, 8)
 
 
 def stopword_ratio(tokens: Column) -> Column:
