@@ -109,9 +109,11 @@ def main() -> None:
     )
 
     # drop the corpus sections' cached stages before the next section —
-    # persisted frames from prior run_pipeline calls otherwise accumulate
-    # in storage memory for the rest of the session
-    spark.catalog.clearCache()
+    # each run's CheckpointManager tracks its own persists (unpersist
+    # hygiene; the old blanket clearCache workaround is gone)
+    out["metrics"].release()
+    base["metrics"].release()
+    probe["release"]()
 
     # --- doc-level dedup pipeline over the sf documents table ------------
     # (the full pipeline query — same computation this bench key timed in

@@ -67,6 +67,12 @@ class CheckpointManager:
     config_hash: str
     root: str | None = None
     metrics: list[StageMetrics] = field(default_factory=list)
+    # DataFrames persisted during the run (in-memory stage caches +
+    # auxiliary persists registered by operators, e.g. the LSH bucket-size
+    # aggregate). ``release()`` unpersists them all once the caller is
+    # done with the outputs — without it, a long-lived session running
+    # many pipelines accumulates dead blocks in storage memory.
+    aux: list[DataFrame] = field(default_factory=list)
     # eager=True materializes each in-memory stage with a count() —
     # exact per-stage wall attribution at the cost of one job round per
     # stage. eager=False persists lazily: the first downstream action
@@ -114,6 +120,7 @@ class CheckpointManager:
             # its own partition only). With eager=True also materialize
             # now, so wall_s measures this stage's real compute.
             df = df.persist()
+            self.aux.append(df)
             if self.eager:
                 n = df.count()
                 self.metrics.append(StageMetrics(stage, n, time.perf_counter() - t0, -1, {}))
@@ -140,6 +147,20 @@ class CheckpointManager:
         with open(d.parent / f"{stage}.metrics.json", "w") as f:
             json.dump(m.__dict__, f, indent=2)
         return out
+
+    def release(self) -> None:
+        """Unpersist every DataFrame cached during the run (stage caches +
+        operator aux persists). Call when the outputs have been consumed;
+        afterwards the returned DataFrames recompute from source if used
+        again. localCheckpoint()ed frames are NOT touched — their cached
+        blocks ARE the truncated lineage and unpersisting would invalidate
+        still-referenced results."""
+        for df in self.aux:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
+        self.aux.clear()
 
     def write_metrics_table(self) -> None:
         if self.root is None:

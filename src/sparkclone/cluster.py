@@ -74,7 +74,9 @@ def connected_components(
         # per sequential job (shuffle_partitions round-trips of scheduler
         # latency, catastrophic at high parallelism); <= small_graph_edges
         # int64 pairs fit the driver comfortably.
-        for row in e.collect():
+        edge_rows = e.collect()
+        e.unpersist()  # fully consumed; nothing downstream references it
+        for row in edge_rows:
             u, v = row["u"], row["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -93,6 +95,7 @@ def connected_components(
     # symmetric edge list (u -> v both directions)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).dropDuplicates()
     sym = sym.localCheckpoint(eager=True)
+    e.unpersist()  # sym's eager localCheckpoint cut the lineage to e
 
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
     for _ in range(cfg.max_iterations):

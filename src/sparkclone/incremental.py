@@ -195,8 +195,10 @@ def incremental_scan_probe(
     ).select(F.col("snippet_id").alias("id"))
     pairs = probe_candidate_pairs(bt_all, changed_rep_ids, cfg.lsh)
 
+    aux: list = []
     verified = with_lcs_evidence(
-        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, all_snips
+        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, all_snips,
+        aux_registry=aux,
     )
     from sparkclone.pipeline import _EDGE_COLS
 
@@ -206,10 +208,19 @@ def incremental_scan_probe(
     edges = verified.select(*_EDGE_COLS).unionByName(star_edges.select(*_EDGE_COLS))
     findings = rollup_findings(edges, cfg.thresholds)
     diff_findings = diff_filter_findings(findings, changed)
+    def _release() -> None:
+        for df in aux:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        aux.clear()
+
     return {
         "changed_files": changed,
         "snippets": all_snips,
         "signatures": signatures,
         "candidate_pairs": pairs,
         "diff_findings": diff_findings,
+        "release": _release,
     }

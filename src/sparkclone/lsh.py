@@ -191,13 +191,20 @@ def probe_candidate_pairs(
 
 
 def candidate_pairs(
-    sigs: DataFrame, cfg: LshConfig, id_col: str = "snippet_id"
+    sigs: DataFrame,
+    cfg: LshConfig,
+    id_col: str = "snippet_id",
+    aux_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate (id_a < id_b) pairs from LSH band buckets.
 
     Returns (pairs, bucket_stats) where bucket_stats carries one row per
     routing class (plain / salted / dropped) with bucket + member counts —
     fed to the `_metrics` sink so silently-dropped hot buckets are visible.
+
+    ``aux_registry``: persisted helper frames are appended here so the
+    caller can unpersist them once pairs/bucket_stats are materialized
+    (run_pipeline wires CheckpointManager.aux; see its release()).
     """
     bt = band_table(sigs, id_col)
     # sizes is consumed twice (routing join + bucket_stats) and is tiny
@@ -210,6 +217,8 @@ def candidate_pairs(
         .where(F.col("bsize") >= 2)
         .persist()
     )
+    if aux_registry is not None:
+        aux_registry.append(sizes)
     cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
     routed = bt.join(sizes, ["band_id", "band_hash"])  # drops singleton buckets
     small = routed.where(F.col("bsize") <= _SALT_THRESHOLD).drop("bsize")

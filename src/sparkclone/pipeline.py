@@ -225,7 +225,7 @@ def run_pipeline(
 
     def _pairs_and_stats() -> tuple[DataFrame, DataFrame]:
         if "r" not in _cp:
-            _cp["r"] = candidate_pairs(signatures, cfg.lsh)
+            _cp["r"] = candidate_pairs(signatures, cfg.lsh, aux_registry=ck.aux)
         return _cp["r"]
 
     pairs = ck.load_or_compute("candidate_pairs", lambda: _pairs_and_stats()[0])
@@ -233,7 +233,7 @@ def run_pipeline(
 
     def _verified() -> DataFrame:
         v = verify_pairs(attach_sides(pairs, signatures), cfg)
-        v = with_lcs_evidence(v, cfg, snippets)
+        v = with_lcs_evidence(v, cfg, snippets, aux_registry=ck.aux)
         return v.select(*_EDGE_COLS)
 
     verified = ck.load_or_compute("verified", _verified)

@@ -164,7 +164,10 @@ def longest_common_substring_len(a: str, b: str) -> int:
 
 
 def with_lcs_evidence(
-    verified: DataFrame, cfg: PipelineConfig, snippets: DataFrame | None = None
+    verified: DataFrame,
+    cfg: PipelineConfig,
+    snippets: DataFrame | None = None,
+    aux_registry: list | None = None,
 ) -> DataFrame:
     """Append `lcs_chars` (longest common substring length over normalized
     texts, capped at lcs_max_chars per side) and `near_verbatim`
@@ -187,8 +190,12 @@ def with_lcs_evidence(
     # coalesce makes the split exhaustive: a NULL hamming (edges produced
     # without simhash) routes to `rest` with lcs_chars NULL instead of
     # silently vanishing from both branches. persist() materializes the
-    # verification lineage once instead of once per branch of the union.
+    # verification lineage once instead of once per branch of the union;
+    # the caller unpersists via aux_registry once the output is
+    # materialized (CheckpointManager.release()).
     verified = verified.persist()
+    if aux_registry is not None:
+        aux_registry.append(verified)
     gate = F.coalesce(
         F.col("hamming") <= F.lit(2 * cfg.signature.simhash_near_radius), F.lit(False)
     )
