@@ -64,6 +64,27 @@ def test_srp_dedupe_shuffles_ids_only(spark, embeddings):
         )
 
 
+def test_srp_plan_has_no_per_plane_literals(spark, embeddings):
+    """Scale-safety gate (round-2 verdict #3): at auto-scaled plane counts
+    the bucket projection must be one Arrow-batched UDF over a captured
+    plane tensor, NOT n_tables*n_planes*dim inlined float literals — the
+    literal form blows up Catalyst analysis/codegen (plan-explosion trap).
+
+    auto_n_planes(10**6) == 14; with 12 tables x 64 dims the literal plan
+    would embed ~10k float literals. Assert the optimized plan stays small
+    and routes through a Python/Arrow UDF node."""
+    from sparkclone.vector import auto_n_planes, srp_topk
+
+    df = srp_topk(
+        embeddings, k=3, n_planes=auto_n_planes(10**6), n_tables=12, seed=42, dim=64
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" in plan or "bucket_udf" in plan, plan[:2000]
+    # literal-inlined planes would push this far past 10^5 chars
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+    assert plan.count("0.") < 200, "float literals leaked into the plan"
+
+
 def test_srp_explicit_dim_matches_inferred(spark, embeddings):
     from sparkclone.vector import srp_topk
 
