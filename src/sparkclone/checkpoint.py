@@ -80,10 +80,42 @@ class CheckpointManager:
     # coordination-floor saver for benchmark/throughput runs).
     eager: bool = True
 
+    # free-form per-stage annotations (e.g. per-snippet signature reuse
+    # counts) surfaced to tests/metrics consumers
+    notes: dict = field(default_factory=dict)
+
     def _stage_dir(self, stage: str) -> Path | None:
         if self.root is None:
             return None
         return Path(self.root) / self.config_hash / stage
+
+    def find_prior_stage(self, stage: str) -> DataFrame | None:
+        """Most recent COMPLETED checkpoint of ``stage`` written under the
+        same config hash but a different input snapshot (key format is
+        ``{config_hash}-{snapshot}``).
+
+        This is the cross-snapshot reuse seed for content-addressed
+        stages: a snippet_id is deterministic in (path, span, code hash),
+        so a prior snapshot's signature row is still valid for any
+        snippet_id that survives into the current snapshot — the
+        left-anti-join analogue of the reference's per-snippet embedding
+        cache (core/pipeline.py:50-88). Callers must only apply it to
+        stages keyed by such content-addressed ids."""
+        if self.root is None:
+            return None
+        cfg_prefix = self.config_hash.split("-")[0]
+        candidates = [
+            d
+            for d in Path(self.root).glob(f"{cfg_prefix}-*/{stage}")
+            if d.parent.name != self.config_hash and (d / "_SUCCESS").exists()
+        ]
+        if not candidates:
+            return None
+        latest = max(candidates, key=lambda d: d.stat().st_mtime)
+        try:
+            return self.spark.read.parquet(str(latest))
+        except Exception:  # noqa: BLE001 — unreadable prior checkpoint
+            return None
 
     def has(self, stage: str) -> bool:
         d = self._stage_dir(stage)

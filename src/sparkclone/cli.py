@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     diff = sub.add_parser("diff", help="scan + keep findings touching files changed vs a base snapshot")
     _add_common_args(diff)
     diff.add_argument("--base-corpus", required=True, help="previous corpus snapshot (parquet)")
+    diff.add_argument(
+        "--base-artifacts", default=None,
+        help="checkpoint root of a prior scan of --base-corpus; when its "
+             "snippets/signatures stages are present, diff runs the "
+             "diff-proportional probe path (cost scales with the change "
+             "set) instead of a full rescan + filter",
+    )
     return p
 
 
@@ -211,15 +218,50 @@ def main(argv: list[str] | None = None) -> int:
     ).hexdigest()[:12]
 
     if args.command == "diff":
-        from sparkclone.incremental import incremental_scan
+        from sparkclone.incremental import incremental_scan, incremental_scan_probe
 
         base = load_corpus(spark, args.base_corpus)
         if include_globs or exclude_globs:
             base = filter_corpus(base, include_globs, exclude_globs)
-        out = incremental_scan(
-            spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir,
-            snapshot_id=snapshot_id,
-        )
+        # Probe path: reuse the base scan's checkpointed snippets +
+        # signatures so rescan cost scales with the diff, not the corpus.
+        # The base checkpoint key is recomputed with the SAME formula the
+        # scan command used (config hash + base corpus fingerprint +
+        # globs), so stale/mismatched artifacts can never be probed.
+        base_stages = None
+        if getattr(args, "base_artifacts", None):
+            base_snap = hashlib.sha256(
+                "\x1f".join(
+                    [corpus_fingerprint(base), *sorted(include_globs), "\x1e",
+                     *sorted(exclude_globs)]
+                ).encode("utf-8")
+            ).hexdigest()[:12]
+            key_dir = Path(args.base_artifacts) / f"{cfg.config_hash()}-{base_snap}"
+            needed = ["snippets", "signatures"]
+            if cfg.expansion.enabled:  # EXP probe also needs the call graph
+                needed.append("call_facts")
+            if all((key_dir / s / "_SUCCESS").exists() for s in needed):
+                base_stages = {
+                    s: spark.read.parquet(str(key_dir / s)) for s in needed
+                }
+            else:
+                print(
+                    f"base artifacts incomplete under {key_dir}; "
+                    "falling back to full rescan",
+                    file=sys.stderr,
+                )
+        if base_stages is not None:
+            out = incremental_scan_probe(
+                spark, corpus, base_stages["snippets"], base_stages["signatures"],
+                base, cfg, base_facts=base_stages.get("call_facts"),
+            )
+            diff_mode = "probe"
+        else:
+            out = incremental_scan(
+                spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir,
+                snapshot_id=snapshot_id,
+            )
+            diff_mode = "full_rescan"
         findings = out["diff_findings"]
         stats = {
             "file_count": corpus.count(),
@@ -227,6 +269,7 @@ def main(argv: list[str] | None = None) -> int:
             "snippet_count": out["snippets"].count(),
             "candidate_count": out["candidate_pairs"].count(),
             "finding_count": findings.count(),
+            "diff_mode": diff_mode,
         }
     else:
         out = run_pipeline(
@@ -244,7 +287,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.output_tables:
         findings.write.mode("overwrite").parquet(f"{args.output_tables}/findings")
-        out["clusters"].write.mode("overwrite").parquet(f"{args.output_tables}/clusters")
+        if "clusters" in out:  # probe-mode diff has no cluster stage
+            out["clusters"].write.mode("overwrite").parquet(f"{args.output_tables}/clusters")
 
     _write_report(
         args, findings, stats, {"config_hash": cfg.config_hash()}, timing, out_path,

@@ -70,6 +70,12 @@ class SignatureConfig:
     rows_per_band: int = 8
     seed: int = 42
     simhash_bits: int = 64
+    # "xxhash64": the numpy MinHash/SimHash fast path (production).
+    # "md5_portable": JVM-side md5 sketches computable bit-identically by
+    # an ANSI-SQL oracle (single band = min token-md5 prefix; 16-bit md5
+    # SimHash) — the cross-engine-verifiable twin used to give the FULL
+    # pipeline a DuckDB oracle (clone_pipeline_portable_sizes).
+    scheme: str = "xxhash64"
     # SimHash Hamming-distance prefilter radius used only as *evidence*
     # ordering / near-verbatim flag, never to drop candidates.
     simhash_near_radius: int = 8
@@ -140,6 +146,12 @@ class PipelineConfig:
     # disabled for pure-throughput runs.
     lcs_evidence: bool = True
     lcs_max_chars: int = 4000
+    # Apply normalize_source (docstring-strip + canonical unparse) to
+    # snippet texts. True mirrors the reference (generators.py:20,46
+    # normalizes unconditionally); False is the raw-text mode for
+    # non-code corpora — it also makes the snippet text SQL-derivable,
+    # which the portable-oracle pipeline config relies on.
+    normalize_text: bool = True
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)

@@ -595,6 +595,23 @@ def expand_snippets(corpus: DataFrame, exp: ExpansionConfig, windows: WindowConf
     # the tree to the point where Catalyst's own plan rendering OOMs.
     # Truncating lineage here keeps the plan linear in branch count.
     facts = file_facts(corpus).localCheckpoint(eager=True)
+    return expand_from_facts(facts, exp)
+
+
+def expand_from_facts(facts: DataFrame, exp: ExpansionConfig) -> DataFrame:
+    """EXP snippet rows from a (lineage-truncated) FACTS table.
+
+    Split out of :func:`expand_snippets` so incremental/probe scans can
+    feed a MERGED facts table — base facts for unchanged files (reused
+    from the base run's ``call_facts`` checkpoint) unioned with freshly
+    extracted facts for changed files — instead of re-running the Python
+    AST kernel over the whole corpus. The resolution joins + BFS +
+    assembly below always run over the full facts table (JVM join work,
+    diff-INDEPENDENT but cheap); only the per-file fact extraction is the
+    Python-kernel cost that incremental mode makes diff-proportional.
+
+    ``facts`` must already be lineage-truncated (localCheckpoint) — it
+    fans out to ~8 join branches."""
     units = _units_flat(facts)
     edges = call_edges(facts)
     reach = _bfs_reach(edges, exp.depth)

@@ -70,6 +70,7 @@ def incremental_scan_probe(
     base_signatures: DataFrame,
     corpus_old: DataFrame,
     cfg=None,
+    base_facts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Probe-side LSH diff: identical diff_findings to
     ``incremental_scan`` (changed-vs-ALL), with per-stage cost scaling in
@@ -95,9 +96,18 @@ def incremental_scan_probe(
     representative, star edges, and signature remain valid and are kept
     via broadcast anti-joins — the full corpus is never shuffled.
 
-    EXP snippets: call expansion reads the cross-file call graph, so
-    probe mode requires ``cfg.expansion.enabled == False`` (full rescan
-    handles EXP).
+    EXP snippets (``cfg.expansion.enabled``): supported when the base
+    run's ``call_facts`` checkpoint is supplied as ``base_facts``. The
+    per-file Python AST kernel (fact extraction) runs only over changed
+    files; facts for unchanged files are reused from the base (rows at
+    changed/deleted paths anti-joined away). Expansion itself — call
+    resolution joins, BFS, text assembly — re-runs over the merged facts
+    table, because a changed file can alter the expansion of an UNCHANGED
+    origin (changed callee body, changed import resolution, changed
+    factory/class tables); unchanged origins reproduce byte-identical EXP
+    snippets (deterministic snippet_id), so their signatures still hit the
+    per-snippet cache and the affected-group detection sees exactly the
+    EXP rows whose content really changed (symmetric snippet_id diff).
     """
     from pyspark.sql import functions as F
 
@@ -112,8 +122,11 @@ def incremental_scan_probe(
 
     ensure_shipped(spark)
     cfg = cfg or PipelineConfig()
-    if cfg.expansion.enabled:
-        raise ValueError("probe-side incremental scan does not support EXP expansion")
+    if cfg.expansion.enabled and base_facts is None:
+        raise ValueError(
+            "probe-side incremental scan with EXP expansion needs the base "
+            "run's call_facts checkpoint (pass base_facts)"
+        )
 
     # localCheckpoint (not persist) throughout: the probe dataflow is a
     # DAG — signatures feeds four consumers, affected three — and an
@@ -142,27 +155,68 @@ def incremental_scan_probe(
         extract_snippets(changed_corpus, cfg.windows), cfg
     ).localCheckpoint(eager=True)
 
+    # 1b. EXP: re-extract call facts for changed files only, merge with the
+    # base facts of surviving files, regenerate EXP snippets from the
+    # merged graph. Unchanged origins reproduce identical snippet_ids, so
+    # only genuinely changed expansions surface in the symmetric diff
+    # below (and only those mark groups affected / miss the sig cache).
+    base_exp = base_snippets.where(F.col("kind") == "EXP")
+    base_nonexp = base_snippets.where(F.col("kind") != "EXP")
+    exp_extra_affected = None
+    if cfg.expansion.enabled and cfg.expansion.depth > 0:
+        from sparkclone.expansion import expand_from_facts, file_facts
+
+        kept_facts = base_facts.join(
+            F.broadcast(gone_fp), base_facts["path"] == F.col("__gonefp"), "left_anti"
+        )
+        facts = (
+            kept_facts.unionByName(file_facts(changed_corpus))
+            .localCheckpoint(eager=True)
+        )
+        exp_snips = tokenize_snippets(
+            expand_from_facts(facts, cfg.expansion), cfg
+        ).localCheckpoint(eager=True)
+        exp_new_only = exp_snips.join(
+            base_exp.select("snippet_id"), "snippet_id", "left_anti"
+        )
+        exp_gone = base_exp.join(
+            exp_snips.select("snippet_id"), "snippet_id", "left_anti"
+        )
+        exp_extra_affected = (
+            exp_new_only.select("tokenset_hash")
+            .unionByName(exp_gone.select("tokenset_hash"))
+        )
+    else:
+        exp_snips = None
+
     # 2. AFFECTED token-set groups: any group that gains a member (new
-    # snippets) or loses one (base snippets at changed/deleted paths).
+    # snippets, changed EXP expansions) or loses one (base snippets at
+    # changed/deleted paths, EXP rows whose expansion changed).
     # Unaffected groups have identical membership in old and new corpus
     # state, so their base representative AND its signature stay valid —
     # they are kept via broadcast anti-joins, never shuffled. Collapse +
     # signing then run over affected groups only: every stage below
     # scales with the diff, not the corpus.
-    affected = (
-        new_snips.select("tokenset_hash")
-        .unionByName(
-            base_snippets.join(
-                F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_semi"
-            ).select("tokenset_hash")
+    affected = new_snips.select("tokenset_hash").unionByName(
+        base_snippets.join(
+            F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_semi"
+        ).select("tokenset_hash")
+    )
+    if exp_extra_affected is not None:
+        affected = affected.unionByName(exp_extra_affected)
+    affected = affected.dropDuplicates().localCheckpoint(eager=True)
+    if exp_snips is not None:
+        # base EXP rows are superseded wholesale by the regenerated set
+        # (identical rows for unchanged origins, fresh rows otherwise)
+        kept_base = base_nonexp.join(
+            F.broadcast(gone_fp), base_nonexp["path"] == F.col("__gonefp"), "left_anti"
         )
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    kept_base = base_snippets.join(
-        F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_anti"
-    )
-    all_snips = kept_base.unionByName(new_snips)
+        all_snips = kept_base.unionByName(new_snips).unionByName(exp_snips)
+    else:
+        kept_base = base_snippets.join(
+            F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_anti"
+        )
+        all_snips = kept_base.unionByName(new_snips)
     aff_snips = all_snips.join(F.broadcast(affected), "tokenset_hash", "left_semi")
     reps_sub, star_edges = collapse_exact(aff_snips)
     reps_sub = reps_sub.localCheckpoint(eager=True)

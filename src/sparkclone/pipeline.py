@@ -197,25 +197,58 @@ def run_pipeline(
     if src.rdd.getNumPartitions() < dp:
         src = src.repartition(dp)
 
+    # EXP call-graph facts are checkpointed as their own stage so
+    # incremental/probe runs can reuse them per-file (facts for unchanged
+    # files stay valid across snapshots — see incremental_scan_probe).
+    facts: DataFrame | None = None
+
     def _snippets() -> DataFrame:
+        nonlocal facts
         s = extract_snippets(src, cfg.windows)
         if cfg.expansion.enabled and cfg.expansion.depth > 0:
-            from sparkclone.expansion import expand_snippets
+            from sparkclone.expansion import expand_from_facts, file_facts
 
-            s = s.unionByName(expand_snippets(src, cfg.expansion, cfg.windows))
+            facts = ck.load_or_compute(
+                "call_facts", lambda: file_facts(src).localCheckpoint(eager=True)
+            )
+            s = s.unionByName(expand_from_facts(facts, cfg.expansion))
         return tokenize_snippets(s, cfg)
 
     snippets = ck.load_or_compute("snippets", _snippets)
     reps, star_edges = collapse_exact(snippets)
+
     # signatures drop the normalized text: every downstream consumer
     # (band table, verification sides) works on hashes/metadata, and the
     # LCS evidence join reads texts from the snippets stage for its tiny
     # SimHash-gated subset — keeping text here would fatten the widest
     # checkpoint and the verification joins for nothing.
-    signatures = ck.load_or_compute(
-        "signatures",
-        lambda: with_signatures(reps.drop("norm_text", "text_hash"), cfg.signature),
-    )
+    def _signatures() -> DataFrame:
+        todo = reps.drop("norm_text", "text_hash")
+        # Per-snippet resume (reference core/pipeline.py:50-88 embedding-
+        # cache semantics): when this snapshot's signatures stage is
+        # missing but an earlier snapshot completed one under the same
+        # config, reuse its rows by content-addressed snippet_id and sign
+        # only the misses — an interrupted/partial prior run re-signs
+        # only what it never finished. Caveat (shared with the probe
+        # path, incremental.py): snippet_id hashes (path, span, code
+        # hash) but not the qualname, so a prior row may carry a stale
+        # qualified_name if ONLY an enclosing class was renamed around
+        # an otherwise-identical function at identical lines — accepted,
+        # unit identity still differs via unit_id only in that row's
+        # display fields, never in match topology at realistic odds.
+        prior = ck.find_prior_stage("signatures")
+        fresh_cols = todo.columns + ["minhash", "simhash", "bands"]
+        if prior is None or not set(fresh_cols).issubset(prior.columns):
+            return with_signatures(todo, cfg.signature)
+        hits = prior.join(todo.select("snippet_id"), "snippet_id", "left_semi").select(
+            *fresh_cols
+        )
+        misses = todo.join(prior.select("snippet_id"), "snippet_id", "left_anti")
+        ck.notes["signatures_reused"] = hits.count()
+        ck.notes["signatures_computed"] = misses.count()
+        return hits.unionByName(with_signatures(misses, cfg.signature))
+
+    signatures = ck.load_or_compute("signatures", _signatures)
 
     # Single invocation of candidate_pairs feeds BOTH checkpointed stages:
     # bucket_stats derives from the (persisted) bucket-size aggregate the
@@ -252,6 +285,7 @@ def run_pipeline(
 
     return {
         "snippets": snippets,
+        "call_facts": facts,  # None unless expansion ran this session
         "signatures": signatures,
         "candidate_pairs": pairs,
         "bucket_stats": bucket_stats,

@@ -130,3 +130,73 @@ def test_cli_diff_changed_vs_all(spark, corpus_rows_mod, tmp_path):
     assert payload["stats"]["finding_count"] > 0
     for f in payload["findings"]:
         assert changed_path in (f["path_a"], f["path_b"])
+
+
+def test_cli_diff_base_artifacts_probe_matches_full_rescan(
+    spark, corpus_rows_mod, tmp_path
+):
+    """`diff --base-artifacts <ck>` must run the diff-proportional probe
+    over the base scan's checkpointed snippets/signatures and report the
+    SAME finding pair set as the full-rescan diff (CLI mirror of
+    tests/test_incremental_probe.py; round-2 verdict "What's missing" #1)."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    base_rows = [r for r in corpus_rows_mod if r.family != "exact"][:-1] + [
+        r for r in corpus_rows_mod if r.family == "exact"
+    ][1:]
+    new_pq, old_pq = str(tmp_path / "new.parquet"), str(tmp_path / "old.parquet")
+    rows_to_parquet(corpus_rows_mod, new_pq)
+    rows_to_parquet(base_rows, old_pq)
+    ck = str(tmp_path / "ck")
+
+    # 1. base scan populates the artifacts
+    rc = main([
+        "scan", "--corpus", old_pq, "--repotype", "none", "--window-lines", "12",
+        "--checkpoint-dir", ck, "--out", str(tmp_path / "base.json"),
+        "--config-root", str(tmp_path),
+    ])
+    assert rc == 0
+
+    common = [
+        "--base-corpus", old_pq, "--repotype", "none", "--window-lines", "12",
+        "--config-root", str(tmp_path),
+    ]
+    rc = main([
+        "diff", "--corpus", new_pq, *common, "--base-artifacts", ck,
+        "--out", str(tmp_path / "probe.json"),
+    ])
+    assert rc == 0
+    rc = main([
+        "diff", "--corpus", new_pq, *common, "--out", str(tmp_path / "full.json"),
+    ])
+    assert rc == 0
+
+    probe = json.loads((tmp_path / "probe.json").read_text())
+    full = json.loads((tmp_path / "full.json").read_text())
+    assert probe["stats"]["diff_mode"] == "probe"
+    assert full["stats"]["diff_mode"] == "full_rescan"
+
+    def pairs(payload):
+        return {(f["unit_a"], f["unit_b"]) for f in payload["findings"]}
+
+    assert probe["stats"]["finding_count"] == full["stats"]["finding_count"]
+    assert pairs(probe) == pairs(full)
+
+
+def test_cli_diff_base_artifacts_missing_falls_back(spark, corpus_rows_mod, tmp_path):
+    """A --base-artifacts dir without the needed stages must fall back to
+    the full rescan, not crash."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    new_pq, old_pq = str(tmp_path / "new.parquet"), str(tmp_path / "old.parquet")
+    rows_to_parquet(corpus_rows_mod, new_pq)
+    rows_to_parquet(corpus_rows_mod[:-1], old_pq)
+    rc = main([
+        "diff", "--corpus", new_pq, "--base-corpus", old_pq, "--repotype", "none",
+        "--window-lines", "12", "--base-artifacts", str(tmp_path / "nope"),
+        "--out", str(tmp_path / "fb.json"), "--config-root", str(tmp_path),
+    ])
+    assert rc == 0
+    assert json.loads((tmp_path / "fb.json").read_text())["stats"]["diff_mode"] == "full_rescan"
