@@ -605,6 +605,39 @@ def _q_clone_cluster_sizes_docs(spark, sf_dir):
     return cl.groupBy("cluster_rep").agg(F.count("*").alias("member_count"))
 
 
+def _q_clone_pipeline_portable_sizes(spark, sf_dir):
+    """The FULL pipeline (extract -> tokenize -> exact collapse ->
+    signatures -> LSH bucket join -> verify -> rollup -> CC -> sizes) in
+    its portable-oracle configuration: md5 signature scheme (single band =
+    min token-md5 prefix, 16-bit md5 SimHash), raw text mode
+    (normalize_text=False; the reference normalizes code — for this text
+    corpus normalize_source is the identity anyway, asserted in
+    tests/test_portable_pipeline.py), thresholds UNCHANGED from the
+    benchmark config. Every stage runs through the same run_pipeline
+    code path as production; only the sketch construction swaps, so the
+    end-to-end cluster semantics get a real DuckDB oracle (the xxhash64
+    fast path keeps its rows-only entry + reference-binary pytest gate).
+
+    Edge-set identity the oracle mirrors: docs sharing the min token-md5
+    bucket at exact token-set Jaccard >= 0.90 (WIN threshold; star edges
+    from the exact collapse have Jaccard 1.0 and are subsumed); cluster
+    membership = units incident to >= 1 finding; cluster_id = dense rank
+    of components ordered by their min unit_id; member_count per
+    component."""
+    from sparkclone.config import PipelineConfig, SignatureConfig, WindowConfig
+    from sparkclone.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        windows=WindowConfig(window_lines=12, stride_lines=6, min_nonempty=1),
+        signature=SignatureConfig(scheme="md5_portable"),
+        normalize_text=False,
+        lcs_evidence=False,
+    )
+    corpus = documents_as_corpus(_docs(spark, sf_dir))
+    out = run_pipeline(spark, corpus, cfg, eager_metrics=False)
+    return out["cluster_sizes"].select("cluster_id", "member_count", "cluster_root")
+
+
 # --- rows-only entries (not SQL-expressible; driver records weaker check) --
 
 
@@ -673,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_norms": _q_label_centroid_norms,
         "clone_clusters_docs": _q_clone_clusters_docs,
         "clone_cluster_sizes_docs": _q_clone_cluster_sizes_docs,
+        "clone_pipeline_portable_sizes": _q_clone_pipeline_portable_sizes,
         "clone_pipeline_cluster_sizes": _q_clone_pipeline_cluster_sizes,
         "srp_ann_top3": _q_srp_ann_top3,
     }
@@ -1021,6 +1055,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.node, u.d FROM reach r JOIN und u ON u.s = r.lbl
             )
             SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node
+        """,
+        # Full-pipeline oracle (portable config): same unit-id strings the
+        # engine builds (repo/doc_N.txt:doc_N.txt:1:1 — single-line docs
+        # produce exactly one 12/6/min1 window snippet), min-token-md5
+        # band bucket, exact Jaccard >= 0.9 (win threshold; exact-dup star
+        # edges are subsumed at Jaccard 1.0), membership = docs incident
+        # to >= 1 edge, dense cluster ids ordered by min member unit_id.
+        "clone_pipeline_portable_sizes": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     source || '/doc_' || doc_id || '.txt:doc_' || doc_id
+                            || '.txt:1:1' AS unit_id,
+                     {DTOKEN_SQL} AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, unit_id, toks,
+                     substr(list_sort(list_transform(toks, x -> md5(x)))[1], 1, 16) AS bucket
+              FROM d WHERE len(toks) > 0
+            ), e AS (
+              SELECT a.unit_id AS s, c.unit_id AS t
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, c.toks))) >= 0.9
+            ), und AS (
+              SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e
+            ), members AS (
+              SELECT DISTINCT s AS unit_id FROM und
+            ), reach(node, lbl) AS (
+              SELECT unit_id, unit_id FROM members
+              UNION
+              SELECT r.node, u.t FROM reach r JOIN und u ON u.s = r.lbl
+            ), comp AS (
+              SELECT node AS unit_id, min(lbl) AS cluster_root FROM reach GROUP BY node
+            )
+            SELECT CAST(dense_rank() OVER (ORDER BY cluster_root) AS INT) AS cluster_id,
+                   member_count, cluster_root
+            FROM (
+              SELECT cluster_root, CAST(count(*) AS BIGINT) AS member_count
+              FROM comp GROUP BY cluster_root
+            )
         """,
         "clone_cluster_sizes_docs": f"""
             WITH RECURSIVE m AS (

@@ -121,6 +121,25 @@ def _file_unit(path: str, content: str) -> list[_Unit]:
     return [_Unit(name, 1, end_line, content, _sha256(content))]
 
 
+# --- extractor registry (reference model/registry.py seam) -----------------
+# lang (lowercased) -> (path, content) -> list[_Unit]. Unregistered langs
+# fall back to the whole-file "text" extractor. A registered extractor with
+# ``emits_func = True`` also produces FUNC snippets for its units.
+
+
+def _python_extractor(path: str, content: str) -> list[_Unit]:
+    return _extract_python_units(content)
+
+
+_python_extractor.emits_func = True  # type: ignore[attr-defined]
+
+from sparkclone import registry as _registry  # noqa: E402
+
+for _lang in PYTHON_LANGS:
+    _registry.register("extractor", _lang, _python_extractor)
+_registry.register("extractor", "text", _file_unit)
+
+
 def _window_spans(n_lines: int, w: WindowConfig) -> Iterator[tuple[int, int]]:
     """1-based inclusive (start, end) spans, mirroring generators.py:63-74."""
     if w.window_lines <= 0:
@@ -134,7 +153,14 @@ def _window_spans(n_lines: int, w: WindowConfig) -> Iterator[tuple[int, int]]:
 
 
 def _snippet_rows_for_file(
-    repo: str, path: str, commit: str, lang: str, content: str, windows: WindowConfig
+    repo: str,
+    path: str,
+    commit: str,
+    lang: str,
+    content: str,
+    windows: WindowConfig,
+    normalize: bool = True,
+    extractors: dict | None = None,
 ) -> Iterator[tuple]:
     # The reference's identity/hash recipes key on the file *path*
     # (core/types.py:26-29, generators.py:21-23,37-39) — unique within its
@@ -142,14 +168,13 @@ def _snippet_rows_for_file(
     # the path with the repo; this equals the relative path the oracle
     # sees when the corpus is rendered to {root}/{repo}/{path}.
     fpath = f"{repo}/{path}"
-    is_python = (lang or "").lower() in PYTHON_LANGS
-    if is_python:
-        units = _extract_python_units(content)
-    else:
-        units = _file_unit(path, content)
+    table = extractors if extractors is not None else _registry.snapshot("extractor")
+    extractor = table.get((lang or "").lower(), table["text"])
+    emits_func = bool(getattr(extractor, "emits_func", False))
+    units = extractor(path, content)
     for u in units:
         unit_id = f"{fpath}:{u.qualified_name}:{u.start_line}:{u.end_line}"
-        if is_python:
+        if emits_func:
             # FUNC snippets exist only for Python functions — non-Python
             # whole-file units get WIN windows only (core/pipeline.py:
             # 143-152: generate_function_snippets(python_functions) while
@@ -158,7 +183,7 @@ def _snippet_rows_for_file(
             yield (
                 repo, fpath, commit, lang, unit_id, u.qualified_name,
                 u.start_line, u.end_line, "FUNC", u.start_line, u.end_line,
-                func_hash, normalize_source(u.code),
+                func_hash, normalize_source(u.code) if normalize else u.code,
             )
         # WIN snippets (generators.py:53-74 + _make_snippet :17-31).
         lines = u.code.splitlines()
@@ -169,7 +194,8 @@ def _snippet_rows_for_file(
             nonempty = sum(1 for ln in window_lines if ln.strip())
             if nonempty < windows.min_nonempty:
                 continue
-            text = normalize_source("\n".join(window_lines))
+            raw = "\n".join(window_lines)
+            text = normalize_source(raw) if normalize else raw
             win_hash = _sha256(
                 f"WIN:{fpath}:{u.start_line}:{u.end_line}:{u.code_hash}:{start}:{end}:{text}"
             )
@@ -181,17 +207,26 @@ def _snippet_rows_for_file(
             )
 
 
-def extract_snippets(corpus: DataFrame, windows: WindowConfig) -> DataFrame:
+def extract_snippets(
+    corpus: DataFrame, windows: WindowConfig, normalize: bool = True
+) -> DataFrame:
     """corpus(repo, path, commit, lang, content) -> snippets DataFrame.
 
     Single narrow ``mapInPandas`` pass (no shuffle); the returned frame has
     SNIPPET_SCHEMA. Column pruning still works upstream: we select only the
     five input columns before the UDF so a parquet/Iceberg scan reads just
     those.
+
+    ``normalize=False`` skips normalize_source and keeps raw snippet text
+    (PipelineConfig.normalize_text — raw mode for non-code corpora).
     """
     cols = ["repo", "path", "commit", "lang", "content"]
     src = corpus.select(*cols)
     names = list(SNIPPET_SCHEMA.fieldNames())
+    # snapshot the extractor registry at plan-build time so executors use
+    # exactly the components registered on the driver (custom extractors
+    # must be importable worker-side — ship via --py-files)
+    extractors = _registry.snapshot("extractor")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -199,7 +234,8 @@ def extract_snippets(corpus: DataFrame, windows: WindowConfig) -> DataFrame:
                 row
                 for repo, path, commit, lang, content in batch[cols].itertuples(index=False)
                 for row in _snippet_rows_for_file(
-                    repo, path, commit, lang, content or "", windows
+                    repo, path, commit, lang, content or "", windows, normalize,
+                    extractors,
                 )
             ]
             yield pd.DataFrame(rows, columns=names)

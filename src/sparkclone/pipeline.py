@@ -204,7 +204,7 @@ def run_pipeline(
 
     def _snippets() -> DataFrame:
         nonlocal facts
-        s = extract_snippets(src, cfg.windows)
+        s = extract_snippets(src, cfg.windows, normalize=cfg.normalize_text)
         if cfg.expansion.enabled and cfg.expansion.depth > 0:
             from sparkclone.expansion import expand_from_facts, file_facts
 
@@ -223,7 +223,13 @@ def run_pipeline(
     # SimHash-gated subset — keeping text here would fatten the widest
     # checkpoint and the verification joins for nothing.
     def _signatures() -> DataFrame:
-        todo = reps.drop("norm_text", "text_hash")
+        # the md5_portable scheme re-derives token strings from norm_text
+        # (md5 needs strings); the fast path drops the text here so the
+        # widest checkpoint carries only hashes
+        if cfg.signature.scheme == "md5_portable":
+            todo = reps.drop("text_hash")
+        else:
+            todo = reps.drop("norm_text", "text_hash")
         # Per-snippet resume (reference core/pipeline.py:50-88 embedding-
         # cache semantics): when this snapshot's signatures stage is
         # missing but an earlier snapshot completed one under the same
@@ -237,7 +243,9 @@ def run_pipeline(
         # unit identity still differs via unit_id only in that row's
         # display fields, never in match topology at realistic odds.
         prior = ck.find_prior_stage("signatures")
-        fresh_cols = todo.columns + ["minhash", "simhash", "bands"]
+        fresh_cols = [c for c in todo.columns if c != "norm_text"] + [
+            "minhash", "simhash", "bands"
+        ]
         if prior is None or not set(fresh_cols).issubset(prior.columns):
             return with_signatures(todo, cfg.signature)
         hits = prior.join(todo.select("snippet_id"), "snippet_id", "left_semi").select(

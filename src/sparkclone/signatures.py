@@ -137,11 +137,68 @@ def token_hashes_col(tokens: Column) -> Column:
     return F.transform(tokens, lambda t: F.xxhash64(t))
 
 
+def with_signatures_md5_portable(df: DataFrame, cfg: SignatureConfig) -> DataFrame:
+    """SQL-oracle-portable signature scheme — the JVM twin of the
+    textops.py md5 sketches, applied to the pipeline's own stage shape.
+
+    Requires ``norm_text`` (tokens are re-derived JVM-side; md5 needs the
+    token STRINGS, which the fast path deliberately drops). Appends:
+      minhash — sorted distinct token md5 digests, first 4 (KMV sketch,
+                array<string>);
+      bands   — ONE band: 16-hex prefix of the minimum token md5 (bucket
+                sharing == sharing the min token digest — computable by
+                DuckDB as substr(list_sort(list_transform(toks, md5))[1],
+                1, 16));
+      simhash — 16-bit md5 SimHash (majority vote over bits 0..15 of the
+                first 4 hex chars of md5(token); ties -> clear), as a pure
+                column expression (no shuffle, unlike textops.simhash16's
+                explode/groupBy form — same value).
+    ``norm_text`` is dropped from the output like the fast path drops it
+    upstream. Every expression here is deterministic and mirrored verbatim
+    in the clone_pipeline_portable_sizes oracle SQL."""
+    from sparkclone.normalize import tokens_col
+
+    if "norm_text" not in df.columns:
+        raise ValueError(
+            "md5_portable signature scheme needs the norm_text column "
+            "(unsupported in the probe-incremental path)"
+        )
+    toks = tokens_col(F.col("norm_text"))
+    md5s = F.array_sort(F.transform(toks, lambda t: F.md5(t)))
+    vs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+    simhash: F.Column = F.lit(0).cast("long")
+    for j in range(16):
+        ones = F.size(
+            F.filter(vs, lambda v: F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        simhash = simhash + F.when(
+            ones * 2 > F.size(vs), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return (
+        df.withColumn("minhash", F.slice(md5s, 1, 4))
+        .withColumn("simhash", simhash)
+        .withColumn(
+            "bands", F.array(F.substring(F.try_element_at(md5s, F.lit(1)), 1, 16))
+        )
+        .drop("norm_text")
+    )
+
+
 def with_signatures(df: DataFrame, cfg: SignatureConfig, tokens_col_name: str = "token_hashes") -> DataFrame:
     """Append minhash / simhash / bands columns computed in one batched
     pandas UDF over the token-hash array column. Rows with empty token
     sets must be filtered upstream (they can never clear the lexical
-    floor — reference lexical.py:9-10 scores them 0.0)."""
+    floor — reference lexical.py:9-10 scores them 0.0).
+
+    ``cfg.scheme`` resolves through the signature_scheme registry
+    (sparkclone.registry) — "md5_portable" dispatches to the SQL-portable
+    JVM twin; custom schemes register under new names."""
+    if cfg.scheme != "xxhash64":
+        from sparkclone import registry
+
+        return registry.get("signature_scheme", cfg.scheme)(df, cfg)
 
     @F.pandas_udf(SIG_FIELDS)
     def sig_udf(tokens_s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -168,3 +225,9 @@ def with_signatures(df: DataFrame, cfg: SignatureConfig, tokens_col_name: str = 
     return df.withColumn("sig", sig_udf(F.col(tokens_col_name))).select(
         "*", "sig.minhash", "sig.simhash", "sig.bands"
     ).drop("sig")
+
+
+from sparkclone import registry as _registry  # noqa: E402
+
+_registry.register("signature_scheme", "xxhash64", with_signatures)
+_registry.register("signature_scheme", "md5_portable", with_signatures_md5_portable)
