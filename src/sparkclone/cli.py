@@ -33,7 +33,8 @@ def _add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--corpus", required=True, help="corpus parquet/Iceberg path")
     p.add_argument("--out", default=None, help="report output path (default findings.<fmt>)")
     p.add_argument("--format", choices=["json", "html", "sarif"], default="json")
-    p.add_argument("--engine", choices=["semantic", "sonarqube"], default=None)
+    p.add_argument("--engine", default=None,
+                   help="scan engine (registry-validated; built-ins: semantic, sonarqube)")
     p.add_argument("--sonar-report", default=None, help="SonarQube duplications JSON")
     p.add_argument("--config-root", default=None, help="directory whose pyproject.toml configures the scan")
     p.add_argument("--repotype", action="append", default=None, help="glob preset (repeatable; default monorepo)")
@@ -143,15 +144,14 @@ def _resolve_settings(args: argparse.Namespace):
 
 
 def _write_report(args, findings, stats, config_snapshot, timing, out_path, snippets=None) -> None:
-    from sparkclone.report import write_html_report, write_json_report, write_sarif_report
+    import sparkclone.report  # noqa: F401 — registers the built-in reporters
+    from sparkclone import registry
 
-    if args.format == "json":
-        write_json_report(findings, stats=stats, config_snapshot=config_snapshot,
-                          timing=timing, out_path=out_path, top_n=args.top_n)
-    elif args.format == "html":
-        write_html_report(findings, out_path, top_n=args.top_n, snippets=snippets)
-    else:
-        write_sarif_report(findings, out_path, top_n=args.top_n)
+    reporter = registry.get("reporter", args.format)
+    reporter(
+        findings, out_path, top_n=args.top_n, stats=stats,
+        config_snapshot=config_snapshot, timing=timing, snippets=snippets,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -180,19 +180,28 @@ def main(argv: list[str] | None = None) -> int:
     out_path = args.out or f"findings.{args.format}"
     t0 = time.perf_counter()
 
-    if settings.engine == "sonarqube":
-        from sparkclone.sonarqube import import_sonarqube_report
+    # engine resolution through the registry (reference model/registry.py
+    # Engine seam): unknown engines fail with the available list
+    from sparkclone import registry
+    from sparkclone.engines import ENGINE_SEMANTIC  # registers built-ins
 
+    if settings.engine not in registry.available("engine"):
+        raise SystemExit(
+            f"unknown engine {settings.engine!r}; "
+            f"available: {registry.available('engine')}"
+        )
+    if settings.engine != ENGINE_SEMANTIC:
+        importer = registry.get("engine", settings.engine)
         report = (args.sonar_report or os.environ.get("SPARKCLONE_SONAR_REPORT", "")).strip()
         if not report:
             raise SystemExit(
-                "SonarQube engine is not configured. Pass --sonar-report or set "
-                "SPARKCLONE_SONAR_REPORT to a JSON file."
+                f"{settings.engine} engine is not configured. Pass --sonar-report "
+                "or set SPARKCLONE_SONAR_REPORT to a JSON file."
             )
-        findings = import_sonarqube_report(spark, report)
+        findings = importer(spark, report)
         stats = {"finding_count": findings.count()}
         timing = {"total": round(time.perf_counter() - t0, 3)}
-        _write_report(args, findings, stats, {"engine": "sonarqube"}, timing, out_path)
+        _write_report(args, findings, stats, {"engine": settings.engine}, timing, out_path)
         print(json.dumps({"stats": stats, "timing": timing, "report": out_path}))
         return 0
 

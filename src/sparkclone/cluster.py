@@ -59,8 +59,16 @@ def connected_components(
     # deterministic, and a handful of ms instead of one Spark job round
     # per label-propagation iteration. The distributed loop below remains
     # the path for billion-edge graphs.
-    n_edges = e.count()
-    if n_edges <= cfg.small_graph_edges:
+    #
+    # ONE action decides the route AND fetches the edges: collect
+    # limit(threshold+1) — if the cap comes back full the graph is big and
+    # we fall to the distributed loop (e stays persisted for it). The
+    # former count()-then-collect() pair cost an extra full job round per
+    # pipeline — a cluster-size-constant coordination cost, exactly the
+    # kind the scaling protocol punishes. toLocalIterator remains banned
+    # here (one sequential job per partition).
+    edge_rows = e.limit(cfg.small_graph_edges + 1).collect()
+    if len(edge_rows) <= cfg.small_graph_edges:
         spark = edges.sparkSession
         parent: dict[int, int] = {}
 
@@ -70,11 +78,6 @@ def connected_components(
                 x = parent[x]
             return parent.get(x, x)
 
-        # collect() in ONE job — toLocalIterator would fetch one partition
-        # per sequential job (shuffle_partitions round-trips of scheduler
-        # latency, catastrophic at high parallelism); <= small_graph_edges
-        # int64 pairs fit the driver comfortably.
-        edge_rows = e.collect()
         e.unpersist()  # fully consumed; nothing downstream references it
         for row in edge_rows:
             u, v = row["u"], row["v"]

@@ -60,7 +60,13 @@ class ConfigError(ValueError):
     """Invalid configuration value (reference core/errors.py)."""
 
 
-_VALID_ENGINES = frozenset(("semantic", "sonarqube"))
+def _valid_engines() -> frozenset[str]:
+    """Engine names come from the extension registry (model/registry.py
+    seam) so a deployment-registered engine passes config validation."""
+    from sparkclone import engines  # noqa: F401 — registers built-ins
+    from sparkclone import registry
+
+    return frozenset(registry.available("engine"))
 _TRUE_TOKENS = frozenset(("1", "true", "yes", "on"))
 _FALSE_TOKENS = frozenset(("0", "false", "no", "off"))
 
@@ -191,7 +197,7 @@ def _apply(settings: ScanSettings, cfg: Mapping[str, Any]) -> ScanSettings:
     pipe = settings.pipeline
     if "engine" in cfg:
         settings = replace(
-            settings, engine=_coerce_choice("engine", cfg["engine"], _VALID_ENGINES)
+            settings, engine=_coerce_choice("engine", cfg["engine"], _valid_engines())
         )
     if "include_globs" in cfg:
         settings = replace(
@@ -314,9 +320,9 @@ def validate_settings(settings: ScanSettings) -> None:
     every check that survives the embedder/index replacement, plus the
     signature/LSH equivalents."""
     p = settings.pipeline
-    if settings.engine not in _VALID_ENGINES:
+    if settings.engine not in _valid_engines():
         raise ConfigError(
-            f"engine must be one of: {', '.join(sorted(_VALID_ENGINES))} "
+            f"engine must be one of: {', '.join(sorted(_valid_engines()))} "
             f"(got {settings.engine!r})"
         )
     if p.windows.window_lines <= 0:

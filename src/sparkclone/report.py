@@ -337,3 +337,31 @@ def write_sarif_report(findings: DataFrame, out_path: str, top_n: int = 1000) ->
     }
     with open(out_path, "w") as f:
         json.dump(sarif, f, indent=2)
+
+
+# --- reporter registry (reference model/registry.py Reporter seam) ---------
+# Uniform protocol: reporter(findings, out_path, *, top_n, stats,
+# config_snapshot, timing, snippets) — adapters close over the concrete
+# writers so a deployment can register a new --format without touching the
+# CLI (which resolves formats through registry.get("reporter", name)).
+
+from sparkclone import registry as _registry  # noqa: E402
+
+
+@_registry.register("reporter", "json")
+def _json_reporter(findings, out_path, *, top_n=1000, stats=None,
+                   config_snapshot=None, timing=None, snippets=None):
+    write_json_report(findings, stats or {}, config_snapshot or {},
+                      timing or {}, out_path, top_n=top_n)
+
+
+@_registry.register("reporter", "html")
+def _html_reporter(findings, out_path, *, top_n=1000, stats=None,
+                   config_snapshot=None, timing=None, snippets=None):
+    write_html_report(findings, out_path, top_n=top_n, snippets=snippets)
+
+
+@_registry.register("reporter", "sarif")
+def _sarif_reporter(findings, out_path, *, top_n=1000, stats=None,
+                    config_snapshot=None, timing=None, snippets=None):
+    write_sarif_report(findings, out_path, top_n=top_n)
