@@ -84,7 +84,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from sparkclone.pipeline import run_pipeline
 
     corpus = documents_as_corpus(_docs(spark, "/root/testdata/sf0.001"))
-    out = run_pipeline(spark, corpus, _doc_pipeline_config())
+    out = run_pipeline(spark, corpus, _doc_pipeline_config(), eager_metrics=False)
     sizes = out["cluster_sizes"]
     return sizes.select(
         "cluster_id",
