@@ -172,7 +172,13 @@ def rows_to_parquet(rows: list[CorpusRow], path: str) -> None:
             "content": [r.content for r in rows],
         }
     )
-    pq.write_table(table, path)
+    # Small row groups (vs pyarrow's 1M-row default, which would put the
+    # whole corpus in ONE row group): parquet readers only emit rows for
+    # row groups STARTING in their byte-range split, so a single-group
+    # file collapses any scan to one non-empty partition regardless of
+    # requested parallelism. Production-shaped data has many row groups;
+    # the test corpus should too.
+    pq.write_table(table, path, row_group_size=1024)
 
 
 def truth_table(rows: list[CorpusRow]) -> dict[str, list[str]]:

@@ -192,9 +192,21 @@ def run_pipeline(
     # mapInPandas): make sure it runs at full parallelism even when the
     # input arrives as a handful of parquet row groups. At cluster scale
     # the input already has many partitions and this is a no-op.
+    #
+    # The guard is `< 2*dp`, NOT `< dp`: partition COUNT lies for file
+    # scans. Spark splits parquet by BYTE ranges but a reader only
+    # produces rows for row groups that START in its range, so a
+    # single-row-group file scanned at defaultParallelism=4 reports 4
+    # partitions while every row sits in one of them — `< dp` skipped the
+    # repartition and the entire Python extraction ran as ONE task
+    # (measured: 175 s single-task vs 44 s repartitioned at local[4];
+    # this silently poisoned the round-1/2 scaling baselines' N=4 level).
+    # With `< 2*dp` any low-partition-count scan gets an explicit
+    # round-robin spread; genuinely well-partitioned big inputs
+    # (npart >= 2*dp) still skip the shuffle.
     dp = spark.sparkContext.defaultParallelism
     src = corpus
-    if src.rdd.getNumPartitions() < dp:
+    if src.rdd.getNumPartitions() < 2 * dp:
         src = src.repartition(dp)
 
     # EXP call-graph facts are checkpointed as their own stage so

@@ -96,3 +96,46 @@ def test_candidate_generation_has_no_cartesian(spark, corpus_df):
     plan = _executed(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_single_row_group_corpus_extracts_in_parallel(spark, corpus_rows, tmp_path):
+    """Parquet byte-range splits only yield rows for row groups STARTING in
+    the range: a single-row-group file reports N scan partitions with every
+    row in one of them. run_pipeline must detect this shape and spread the
+    Python extraction anyway (round-3 discovery: the old `< dp` guard left
+    the whole extraction in ONE task and poisoned the N=4 scaling level)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkclone.config import benchmark_config
+    from sparkclone.pipeline import load_corpus, run_pipeline
+
+    path = str(tmp_path / "one_group.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": [r.repo for r in corpus_rows],
+                "path": [r.path for r in corpus_rows],
+                "commit": [r.commit for r in corpus_rows],
+                "lang": [r.lang for r in corpus_rows],
+                "content": [r.content for r in corpus_rows],
+            }
+        ),
+        path,
+        row_group_size=10**6,  # force the pathological single-group layout
+    )
+    corpus = load_corpus(spark, path)
+    # the pathology this guards against: >1 scan partitions, all rows in one
+    dist = corpus.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert len([r for r in dist if r["count"] > 0]) == 1
+
+    out = run_pipeline(spark, corpus, benchmark_config(), eager_metrics=False)
+    sdist = (
+        out["snippets"].groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    nonempty = [r for r in sdist if r["count"] > 0]
+    assert len(nonempty) >= spark.sparkContext.defaultParallelism // 2, (
+        f"extraction not spread: {sdist}"
+    )
+    out["metrics"].release()

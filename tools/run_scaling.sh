@@ -13,12 +13,20 @@
 # (~60-180 lines; stmt_lo/hi 30/90) — per-file compute must dominate
 # coordination for a scaling measurement to mean anything at 10^12-file
 # scale.
+# COOLDOWN (4th arg, default 300 s) idles the host before every 16-core
+# run: measured on this VM, high-parallelism walls degrade monotonically
+# under sustained load (77 -> 92 -> 155 s for identical work across three
+# interleaved rounds) while 4-core walls stay flat — a burst-credit
+# pattern. A 16-core wall taken in that state measures the hypervisor's
+# credit ledger, not the job, so the protocol restores burst capacity
+# first; every run is still recorded and the median per level declared.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 N_REPOS="${1:-2000}"
 OUT="${2:-/tmp/scaling_results.jsonl}"
 RUNS="${3:-3}"
+COOLDOWN="${4:-300}"
 WORK=$(mktemp -d /tmp/sparkclone-scaling-XXXX)
 
 # build the --py-files zip
@@ -54,6 +62,8 @@ run 16 /dev/null
 for i in $(seq 1 "$RUNS"); do
   echo "== round $i: N = local[4] =="
   run 4 "$OUT"
+  echo "== cooldown ${COOLDOWN}s (restore burst credits before the 16-core run) =="
+  sleep "$COOLDOWN"
   echo "== round $i: 4N = local[16] =="
   run 16 "$OUT"
 done
