@@ -147,12 +147,16 @@ def incremental_scan_probe(
         .localCheckpoint(eager=True)
     )
 
-    # 1. extract ONLY changed files; everything else stays parquet-side
+    # 1. extract ONLY changed files; everything else stays parquet-side.
+    # The explicit repartition spreads the Python extraction even when the
+    # semi-joined scan collapses to one non-empty partition (single-row-
+    # group parquet pathology — see run_pipeline's guard); the shuffle
+    # moves only the changed files.
     changed_corpus = corpus_new.join(
         F.broadcast(changed.select("repo", "path")), ["repo", "path"], "left_semi"
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     new_snips = tokenize_snippets(
-        extract_snippets(changed_corpus, cfg.windows), cfg
+        extract_snippets(changed_corpus, cfg.windows, normalize=cfg.normalize_text), cfg
     ).localCheckpoint(eager=True)
 
     # 1b. EXP: re-extract call facts for changed files only, merge with the
