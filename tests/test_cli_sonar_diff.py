@@ -200,3 +200,52 @@ def test_cli_diff_base_artifacts_missing_falls_back(spark, corpus_rows_mod, tmp_
     ])
     assert rc == 0
     assert json.loads((tmp_path / "fb.json").read_text())["stats"]["diff_mode"] == "full_rescan"
+
+
+def test_cli_diff_probe_with_expansion(spark, tmp_path):
+    """CLI probe diff with EXP enabled must load the base call_facts
+    checkpoint and still match the full-rescan diff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclone.cli import main
+    from test_incremental_probe import _EXP_FILES
+
+    def write(files, path):
+        rows = sorted(files.items())
+        pq.write_table(
+            pa.table({
+                "repo": ["org0/exprepo"] * len(rows),
+                "path": [p for p, _ in rows],
+                "commit": ["0" * 40] * len(rows),
+                "lang": ["python"] * len(rows),
+                "content": [c for _, c in rows],
+            }),
+            path,
+        )
+
+    new_files = dict(_EXP_FILES)
+    new_files["app/caller_copy.py"] = new_files["app/caller.py"]
+    old_pq, new_pq = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    write(_EXP_FILES, old_pq)
+    write(new_files, new_pq)
+    ck = str(tmp_path / "ck")
+
+    base_args = ["--repotype", "none", "--expand-calls", "--expand-depth", "1",
+                 "--config-root", str(tmp_path)]
+    assert main(["scan", "--corpus", old_pq, "--checkpoint-dir", ck,
+                 "--out", str(tmp_path / "b.json"), *base_args]) == 0
+    assert (ck and any(True for _ in __import__("pathlib").Path(ck).glob("*/call_facts/_SUCCESS")))
+
+    assert main(["diff", "--corpus", new_pq, "--base-corpus", old_pq,
+                 "--base-artifacts", ck, "--out", str(tmp_path / "p.json"), *base_args]) == 0
+    assert main(["diff", "--corpus", new_pq, "--base-corpus", old_pq,
+                 "--out", str(tmp_path / "f.json"), *base_args]) == 0
+
+    probe = json.loads((tmp_path / "p.json").read_text())
+    full = json.loads((tmp_path / "f.json").read_text())
+    assert probe["stats"]["diff_mode"] == "probe"
+    assert full["stats"]["diff_mode"] == "full_rescan"
+    pp = {(f["unit_a"], f["unit_b"]) for f in probe["findings"]}
+    fp = {(f["unit_a"], f["unit_b"]) for f in full["findings"]}
+    assert pp == fp and pp
