@@ -94,6 +94,26 @@ def connected_components(
         membership = nodes.join(F.broadcast(labels_df), "node", "left").select(
             "unit_id", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
+        if dense_ids and len(edge_rows) <= 100_000:
+            # Small graph (nodes bounded by 2x edges): collect the per-
+            # component roots in ONE action and assign dense ids in the
+            # driver, instead of _densify's range-partition + eager
+            # localCheckpoint + counts-collect round-trips — identical
+            # ids (1..K ordered by min member identity), three fewer
+            # cluster-size-constant job rounds per pipeline.
+            roots = membership.groupBy("label").agg(
+                F.min("unit_id").alias("cluster_root")
+            ).collect()
+            dense_rows = [
+                (r["label"], i + 1, r["cluster_root"])
+                for i, r in enumerate(sorted(roots, key=lambda r: r["cluster_root"]))
+            ]
+            dense_df = spark.createDataFrame(
+                dense_rows, "label long, cluster_id int, cluster_root string"
+            )
+            return membership.join(F.broadcast(dense_df), "label").select(
+                "unit_id", "cluster_id", "cluster_root"
+            )
         return _densify(membership, dense_ids)
     # symmetric edge list (u -> v both directions)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).dropDuplicates()

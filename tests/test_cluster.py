@@ -81,12 +81,15 @@ def test_distributed_loop_matches_driver_union_find(spark):
         comp: dict[int, set[str]] = {}
         for r in rows:
             comp.setdefault(r["cluster_id"], set()).add(r["unit_id"])
-        return sorted(frozenset(m) for m in comp.values())
+        # canonicalize with a TOTAL order: sorting frozensets directly
+        # uses the subset partial order, which silently depends on
+        # collect() row order
+        return {cid: tuple(sorted(m)) for cid, m in comp.items()}
 
     small = membership(ClusterConfig())
     distributed = membership(ClusterConfig(small_graph_edges=0, max_iterations=25))
     assert small == distributed
-    assert sorted(len(m) for m in distributed) == [2, 4, 4, 5]
+    assert sorted(len(m) for m in distributed.values()) == [2, 4, 4, 5]
 
 
 def test_filter_clusters_counts_findings(spark):
