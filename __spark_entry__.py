@@ -664,11 +664,14 @@ def _q_srp_ann_top3(spark, sf_dir):
     at the sf0.001 validation scale that resolves to 3 planes x 12
     tables, which holds recall@3 >= 0.9 vs the exact brute-force result —
     pytest-gated in tests/test_vector_ann.py. dim=64 comes from the
-    embeddings schema (TESTDATA.md) instead of a driver-side first()."""
-    from sparkclone.vector import srp_topk
+    embeddings schema (TESTDATA.md) and n_rows from the parquet footer
+    metadata (the Iceberg snapshot-summary analogue) — planning launches
+    zero driver-side jobs (no first()/count())."""
+    from sparkclone.vector import parquet_row_count, srp_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    return srp_topk(e, k=3, n_planes=None, n_tables=12, seed=42, dim=64)
+    n_rows = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return srp_topk(e, k=3, n_planes=None, n_tables=12, seed=42, dim=64, n_rows=n_rows)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -13,6 +13,12 @@ Layout:
     {root}/{config_hash}/{stage}/            parquet data
     {root}/{config_hash}/{stage}.metrics.json
 
+All path operations (existence, prior-checkpoint glob, corrupt-stage
+delete, metrics writes) go through the Hadoop FileSystem API resolved from
+the root's own scheme, so the checkpoint root may be a local path, a
+``file://`` URI, or an object store (s3a/gs/abfs) unchanged — no
+pathlib/shutil anywhere in the layer.
+
 Resume rule: a stage directory with a parquet _SUCCESS marker short-circuits
 recompute (``load_or_compute``). Different config => different hash =>
 different directory, so stale state can never be read (the same guarantee
@@ -30,10 +36,63 @@ import hashlib
 import json
 import time
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Filesystem access goes through the Hadoop FileSystem API resolved from the
+# path's own scheme (file://, s3a://, gs://, hdfs://, abfs://, or a bare
+# local path via the default FS) — NOT pathlib/shutil/os.glob, which only
+# ever work on the driver's local disk. Every stage-existence check, prior-
+# checkpoint glob, corrupt-stage delete, and metrics-JSON write below uses
+# these helpers, so the checkpoint root can live on an object store
+# unchanged (tests drive the same code path through a file:// URI).
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    return _hadoop_path(spark, path).getFileSystem(conf)
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    return bool(_hadoop_fs(spark, path).exists(_hadoop_path(spark, path)))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    fs = _hadoop_fs(spark, path)
+    p = _hadoop_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def fs_glob_status(spark: SparkSession, pattern: str) -> list[tuple[str, int]]:
+    """(path, modification_time_ms) for every match of a Hadoop glob
+    pattern. Empty list when nothing matches."""
+    fs = _hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(_hadoop_path(spark, pattern))
+    if statuses is None:
+        return []
+    return [
+        (st.getPath().toString(), int(st.getModificationTime())) for st in statuses
+    ]
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite a small text file (metrics sidecars) through the FS API —
+    single-writer stream, no rename dance needed for sidecar metadata."""
+    fs = _hadoop_fs(spark, path)
+    out = fs.create(_hadoop_path(spark, path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def corpus_fingerprint(corpus: DataFrame) -> str:
@@ -84,10 +143,10 @@ class CheckpointManager:
     # counts) surfaced to tests/metrics consumers
     notes: dict = field(default_factory=dict)
 
-    def _stage_dir(self, stage: str) -> Path | None:
+    def _stage_dir(self, stage: str) -> str | None:
         if self.root is None:
             return None
-        return Path(self.root) / self.config_hash / stage
+        return f"{self.root}/{self.config_hash}/{stage}"
 
     def find_prior_stage(self, stage: str) -> DataFrame | None:
         """Most recent COMPLETED checkpoint of ``stage`` written under the
@@ -104,22 +163,28 @@ class CheckpointManager:
         if self.root is None:
             return None
         cfg_prefix = self.config_hash.split("-")[0]
+        # glob the _SUCCESS markers themselves: completion check and
+        # listing in one round trip, and the marker's mtime IS the
+        # stage-completed time (object stores have no dir mtime at all)
+        matches = fs_glob_status(
+            self.spark, f"{self.root}/{cfg_prefix}-*/{stage}/_SUCCESS"
+        )
         candidates = [
-            d
-            for d in Path(self.root).glob(f"{cfg_prefix}-*/{stage}")
-            if d.parent.name != self.config_hash and (d / "_SUCCESS").exists()
+            (p[: -len("/_SUCCESS")], mtime)
+            for p, mtime in matches
+            if f"/{self.config_hash}/" not in p
         ]
         if not candidates:
             return None
-        latest = max(candidates, key=lambda d: d.stat().st_mtime)
+        latest = max(candidates, key=lambda c: c[1])[0]
         try:
-            return self.spark.read.parquet(str(latest))
+            return self.spark.read.parquet(latest)
         except Exception:  # noqa: BLE001 — unreadable prior checkpoint
             return None
 
     def has(self, stage: str) -> bool:
         d = self._stage_dir(stage)
-        return d is not None and (d / "_SUCCESS").exists()
+        return d is not None and fs_exists(self.spark, f"{d}/_SUCCESS")
 
     def load_or_compute(self, stage: str, compute) -> DataFrame:
         """Return the checkpointed stage if present, else compute, persist,
@@ -131,14 +196,15 @@ class CheckpointManager:
         cache's corruption recovery (embedding/cache.py handles corrupt
         SQLite by rebuilding; tests/test_embedding_cache.py)."""
         d = self._stage_dir(stage)
-        if d is not None and (d / "_SUCCESS").exists():
+        if d is not None and fs_exists(self.spark, f"{d}/_SUCCESS"):
             try:
-                df = self.spark.read.parquet(str(d))
+                df = self.spark.read.parquet(d)
                 n = df.count()  # forces a full read — surfaces corruption now
             except Exception:  # noqa: BLE001 — any unreadable checkpoint
-                import shutil
-
-                shutil.rmtree(d, ignore_errors=True)
+                try:
+                    fs_delete(self.spark, d)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
             else:
                 self.metrics.append(
                     StageMetrics(stage, n, 0.0, df.rdd.getNumPartitions(), {}, resumed=True)
@@ -159,9 +225,8 @@ class CheckpointManager:
             else:
                 self.metrics.append(StageMetrics(stage, -1, 0.0, -1, {}))
             return df
-        d.parent.mkdir(parents=True, exist_ok=True)
-        df.write.mode("overwrite").parquet(str(d))
-        out = self.spark.read.parquet(str(d))
+        df.write.mode("overwrite").parquet(d)  # creates parents itself
+        out = self.spark.read.parquet(d)
         part_rows = {
             str(r["pid"]): r["n"]
             for r in out.groupBy(F.spark_partition_id().alias("pid"))
@@ -176,8 +241,11 @@ class CheckpointManager:
             part_rows,
         )
         self.metrics.append(m)
-        with open(d.parent / f"{stage}.metrics.json", "w") as f:
-            json.dump(m.__dict__, f, indent=2)
+        fs_write_text(
+            self.spark,
+            f"{self.root}/{self.config_hash}/{stage}.metrics.json",
+            json.dumps(m.__dict__, indent=2),
+        )
         return out
 
     def release(self) -> None:
@@ -197,6 +265,8 @@ class CheckpointManager:
     def write_metrics_table(self) -> None:
         if self.root is None:
             return
-        path = Path(self.root) / self.config_hash / "_metrics.json"
-        with open(path, "w") as f:
-            json.dump([m.__dict__ for m in self.metrics], f, indent=2)
+        fs_write_text(
+            self.spark,
+            f"{self.root}/{self.config_hash}/_metrics.json",
+            json.dumps([m.__dict__ for m in self.metrics], indent=2),
+        )

@@ -245,13 +245,20 @@ def main(argv: list[str] | None = None) -> int:
                      *sorted(exclude_globs)]
                 ).encode("utf-8")
             ).hexdigest()[:12]
-            key_dir = Path(args.base_artifacts) / f"{cfg.config_hash()}-{base_snap}"
+            from sparkclone.checkpoint import fs_exists
+
+            key_dir = f"{args.base_artifacts}/{cfg.config_hash()}-{base_snap}"
             needed = ["snippets", "signatures"]
-            if cfg.expansion.enabled:  # EXP probe also needs the call graph
+            # EXP probe also needs the call graph — same condition under
+            # which run_pipeline writes it (enabled AND depth > 0; an
+            # enabled+depth==0 config generates no EXP snippets and must
+            # not be forced into a full rescan for a stage that never
+            # exists)
+            if cfg.expansion.enabled and cfg.expansion.depth > 0:
                 needed.append("call_facts")
-            if all((key_dir / s / "_SUCCESS").exists() for s in needed):
+            if all(fs_exists(spark, f"{key_dir}/{s}/_SUCCESS") for s in needed):
                 base_stages = {
-                    s: spark.read.parquet(str(key_dir / s)) for s in needed
+                    s: spark.read.parquet(f"{key_dir}/{s}") for s in needed
                 }
             else:
                 print(

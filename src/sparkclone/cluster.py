@@ -60,15 +60,19 @@ def connected_components(
     # per label-propagation iteration. The distributed loop below remains
     # the path for billion-edge graphs.
     #
-    # ONE action decides the route AND fetches the edges: collect
-    # limit(threshold+1) — if the cap comes back full the graph is big and
-    # we fall to the distributed loop (e stays persisted for it). The
-    # former count()-then-collect() pair cost an extra full job round per
-    # pipeline — a cluster-size-constant coordination cost, exactly the
-    # kind the scaling protocol punishes. toLocalIterator remains banned
-    # here (one sequential job per partition).
-    edge_rows = e.limit(cfg.small_graph_edges + 1).collect()
-    if len(edge_rows) <= cfg.small_graph_edges:
+    # ONE action decides the route AND fetches the edges:
+    # limit(threshold+1).toPandas() — if the cap comes back full the graph
+    # is big and we fall to the distributed loop (e stays persisted for
+    # it). The former count()-then-collect() pair cost an extra full job
+    # round per pipeline — a cluster-size-constant coordination cost,
+    # exactly the kind the scaling protocol punishes. Arrow transfer, not
+    # collect(): Python Row objects carry ~10x the raw 16 B/edge, so a
+    # full 2M-row routing sample would transiently hold hundreds of MB of
+    # driver heap as Rows vs ~32 MB as two int64 numpy columns.
+    # toLocalIterator remains banned here (one sequential job per
+    # partition).
+    edge_pdf = e.limit(cfg.small_graph_edges + 1).toPandas()
+    if len(edge_pdf) <= cfg.small_graph_edges:
         spark = edges.sparkSession
         parent: dict[int, int] = {}
 
@@ -79,8 +83,8 @@ def connected_components(
             return parent.get(x, x)
 
         e.unpersist()  # fully consumed; nothing downstream references it
-        for row in edge_rows:
-            u, v = row["u"], row["v"]
+        for u, v in zip(edge_pdf["u"].to_numpy(), edge_pdf["v"].to_numpy()):
+            u, v = int(u), int(v)
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
@@ -94,26 +98,38 @@ def connected_components(
         membership = nodes.join(F.broadcast(labels_df), "node", "left").select(
             "unit_id", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
-        if dense_ids and len(edge_rows) <= 100_000:
-            # Small graph (nodes bounded by 2x edges): collect the per-
-            # component roots in ONE action and assign dense ids in the
-            # driver, instead of _densify's range-partition + eager
-            # localCheckpoint + counts-collect round-trips — identical
-            # ids (1..K ordered by min member identity), three fewer
-            # cluster-size-constant job rounds per pipeline.
-            roots = membership.groupBy("label").agg(
-                F.min("unit_id").alias("cluster_root")
-            ).collect()
-            dense_rows = [
-                (r["label"], i + 1, r["cluster_root"])
-                for i, r in enumerate(sorted(roots, key=lambda r: r["cluster_root"]))
-            ]
-            dense_df = spark.createDataFrame(
-                dense_rows, "label long, cluster_id int, cluster_root string"
+        if dense_ids and len(edge_pdf) <= 100_000:
+            # Small graph: collect the per-component roots in ONE action
+            # and assign dense ids in the driver, instead of _densify's
+            # range-partition + eager localCheckpoint + counts-collect
+            # round-trips — identical ids (1..K ordered by min member
+            # identity), three fewer cluster-size-constant job rounds per
+            # pipeline. Component count is NOT bounded by 2x edges —
+            # units appearing only in self-edge findings are singleton
+            # components via the coalesce above — so the fetch itself is
+            # capped: a full cap+1 result means too many components for
+            # the driver and we fall back to the distributed densify.
+            cap = 200_000
+            roots_pdf = (
+                membership.groupBy("label")
+                .agg(F.min("unit_id").alias("cluster_root"))
+                .limit(cap + 1)
+                .toPandas()
             )
-            return membership.join(F.broadcast(dense_df), "label").select(
-                "unit_id", "cluster_id", "cluster_root"
-            )
+            if len(roots_pdf) <= cap:
+                roots_pdf = roots_pdf.sort_values("cluster_root", kind="mergesort")
+                dense_rows = [
+                    (int(label), i + 1, root)
+                    for i, (label, root) in enumerate(
+                        zip(roots_pdf["label"].to_numpy(), roots_pdf["cluster_root"])
+                    )
+                ]
+                dense_df = spark.createDataFrame(
+                    dense_rows, "label long, cluster_id int, cluster_root string"
+                )
+                return membership.join(F.broadcast(dense_df), "label").select(
+                    "unit_id", "cluster_id", "cluster_root"
+                )
         return _densify(membership, dense_ids)
     # symmetric edge list (u -> v both directions)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).dropDuplicates()

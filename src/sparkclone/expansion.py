@@ -423,9 +423,13 @@ def _last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
-def _resolved_imports(facts: DataFrame) -> DataFrame:
+def _resolved_imports(facts: DataFrame, importer_paths: DataFrame | None = None) -> DataFrame:
     """(repo, path, alias, orig, is_module, target) — import aliases whose
-    module resolved to a local Python file (same repo)."""
+    module resolved to a local Python file (same repo).
+
+    ``importer_paths`` (one ``fpath`` column) restricts resolution to
+    imports OF those files — the diff-proportional probe path; the
+    resolution TARGET tables always stay full."""
     imps = facts.select(
         "repo", "path", F.explode("imports").alias("i")
     ).select(
@@ -438,6 +442,12 @@ def _resolved_imports(facts: DataFrame) -> DataFrame:
         F.col("i.suffix1").alias("suffix1"),
         F.col("i.suffix2").alias("suffix2"),
     )
+    if importer_paths is not None:
+        imps = imps.join(
+            F.broadcast(importer_paths.select(F.col("fpath").alias("__imp_fp"))),
+            imps["path"] == F.col("__imp_fp"),
+            "left_semi",
+        )
     files = facts.select("repo", F.col("path").alias("fp")).dropDuplicates()
     t1 = files.select(F.col("fp").alias("__t1"))
     t2 = files.select(F.col("fp").alias("__t2"))

@@ -122,7 +122,7 @@ def incremental_scan_probe(
 
     ensure_shipped(spark)
     cfg = cfg or PipelineConfig()
-    if cfg.expansion.enabled and base_facts is None:
+    if cfg.expansion.enabled and cfg.expansion.depth > 0 and base_facts is None:
         raise ValueError(
             "probe-side incremental scan with EXP expansion needs the base "
             "run's call_facts checkpoint (pass base_facts)"

@@ -153,7 +153,7 @@ def run_pipeline(
     corpus: DataFrame,
     cfg: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
-    eager_metrics: bool = True,
+    eager_metrics: bool | None = None,
     snapshot_id: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage as a DataFrame.
@@ -162,9 +162,13 @@ def run_pipeline(
     ``{dir}/{config_hash}/{stage}`` and a rerun resumes from the last
     completed stage (kill/resume test in tests/test_resume.py).
 
-    ``eager_metrics=False`` skips the per-stage materializing count in
-    in-memory runs — one job cascade instead of one job round per stage
-    (per-stage wall attribution is lost; use for throughput runs).
+    ``eager_metrics`` controls the per-stage materializing count of
+    in-memory runs (exact per-stage wall attribution at the cost of one
+    job round per stage — a cluster-size-constant coordination floor).
+    Default ``None`` = eager only when ``checkpoint_dir`` is set, where
+    stages materialize to parquet anyway and per-stage walls are the
+    point; pure in-memory throughput runs default to one lazy job
+    cascade. Pass an explicit bool to override either way.
     """
     from sparkclone.cluster import (
         attach_clusters,
@@ -184,6 +188,8 @@ def run_pipeline(
     # DIFFERENT corpus snapshot must never resume the old snapshot's
     # stages (the Iceberg analogue keys on snapshot id).
     snap = snapshot_id or corpus_fingerprint(corpus)
+    if eager_metrics is None:
+        eager_metrics = checkpoint_dir is not None
     ck = CheckpointManager(
         spark, f"{cfg.config_hash()}-{snap}", checkpoint_dir, eager=eager_metrics
     )
@@ -264,8 +270,12 @@ def run_pipeline(
             *fresh_cols
         )
         misses = todo.join(prior.select("snippet_id"), "snippet_id", "left_anti")
-        ck.notes["signatures_reused"] = hits.count()
-        ck.notes["signatures_computed"] = misses.count()
+        if ck.eager:
+            # attribution counters only in eager runs: each count() is an
+            # extra job round (prior scan + joins) — the same per-stage
+            # coordination floor eager_metrics=False exists to remove
+            ck.notes["signatures_reused"] = hits.count()
+            ck.notes["signatures_computed"] = misses.count()
         return hits.unionByName(with_signatures(misses, cfg.signature))
 
     signatures = ck.load_or_compute("signatures", _signatures)

@@ -113,6 +113,17 @@ def _srp_buckets_udf(planes: np.ndarray):
     return bucket_udf
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    file-listing + footer read, NO Spark job and NO data scan (the
+    Iceberg analogue is the snapshot summary's ``total-records``). This
+    is how callers feed ``srp_topk(n_rows=...)`` without paying a
+    count() job before planning."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 def auto_n_planes(n_rows: int, target_bucket: int = 64) -> int:
     """Plane count that keeps expected bucket size ~target_bucket:
     buckets = 2^planes must grow with N or per-bucket pair generation
@@ -151,6 +162,7 @@ def srp_topk(
     vec_col: str = "embedding",
     round_digits: int = 5,
     dim: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine self-join: candidates share an SRP bucket
     in at least one of ``n_tables`` independent hash tables (collision
@@ -166,14 +178,17 @@ def srp_topk(
     n_tables times; instead the embeddings are joined back exactly once,
     to the already-deduped slim pair list, for scoring.
 
-    Pass ``dim`` when known (schema/metadata source); the fallback infers
-    it with a driver-side first() — one extra tiny job, fine interactively,
-    avoidable in production pipelines.
+    Pass ``dim`` and (when ``n_planes`` is None) ``n_rows`` from config or
+    table metadata — parquet/Iceberg footers carry both for free (see
+    :func:`parquet_row_count`) — so planning launches ZERO driver-side
+    jobs. The fallbacks (``first()`` for dim, ``count()`` for auto plane
+    scaling) are fine interactively but a full scan at 100 TB; only used
+    when the caller supplies nothing.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if n_planes is None:
-        n_planes = auto_n_planes(df.count())
+        n_planes = auto_n_planes(n_rows if n_rows is not None else df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     planes = np.stack(
         [

@@ -115,6 +115,27 @@ def test_per_snippet_signature_resume(spark, corpus_rows, tmp_path):
     fresh["metrics"].release()
 
 
+def test_checkpoint_through_file_uri(spark, corpus_parquet, tmp_path):
+    """The checkpoint layer must work through a scheme-qualified URI —
+    the same Hadoop FileSystem code path an object-store root (s3a://,
+    gs://) would take: stage existence, resume, corrupt-delete, and the
+    metrics sidecars all via the FS API, zero pathlib."""
+    ck = f"file://{tmp_path}/ck_uri"
+    corpus = load_corpus(spark, corpus_parquet)
+    cfg = benchmark_config()
+    out1 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    key1 = _findings_key(out1)
+
+    out2 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
+    resumed = [m.stage for m in out2["metrics"].metrics if m.resumed]
+    assert "snippets" in resumed and "signatures" in resumed
+    assert _findings_key(out2) == key1
+
+    # metrics sidecars went through fs_write_text on the URI root
+    assert glob.glob(f"{tmp_path}/ck_uri/*/_metrics.json")
+    assert glob.glob(f"{tmp_path}/ck_uri/*/signatures.metrics.json")
+
+
 def test_input_snapshot_isolates_checkpoints(spark, corpus_rows, tmp_path):
     """Same config over a DIFFERENT corpus snapshot must not resume the
     old snapshot's checkpoints (key carries the input fingerprint)."""
