@@ -108,6 +108,45 @@ def main() -> None:
         timings["incremental_probe"] / timings["pipeline_corpus"], 3
     )
 
+    # --- rolling-base chain: hop 2 probes the artifacts hop 1 refreshed --
+    # (the CLI's --base-artifacts chaining path: persist the probe's
+    # merged stages under the new snapshot key, then diff the NEXT day's
+    # corpus against them — hop cost must stay diff-proportional)
+    import dataclasses
+
+    from sparkclone.incremental import persist_probe_artifacts
+
+    chain_key = f"{tmp}/ck/chain-v2"
+    t0 = time.perf_counter()
+    persist_probe_artifacts(probe, chain_key)
+    extra["artifact_refresh_sec"] = round(time.perf_counter() - t0, 3)
+    v3_rows = [
+        dataclasses.replace(r, content=r.content + "\n# rev3 touch\n")
+        if i % 100 == 50 else r
+        for i, r in enumerate(rows)
+    ]
+    # plus one guaranteed clone: an exact copy of a family file, so hop-2
+    # findings are deterministically nonzero at every scale factor
+    first_exact = next(r for r in rows if r.family == "exact")
+    v3_rows.append(
+        dataclasses.replace(first_exact, path=first_exact.path + ".rev3_copy.py")
+    )
+    v3_path = f"{tmp}/corpus_v3.parquet"
+    rows_to_parquet(v3_rows, v3_path)
+    t0 = time.perf_counter()
+    probe2 = incremental_scan_probe(
+        spark, load_corpus(spark, v3_path),
+        spark.read.parquet(f"{chain_key}/snippets"),
+        spark.read.parquet(f"{chain_key}/signatures"),
+        load_corpus(spark, corpus_path), benchmark_config(),
+    )
+    extra["incremental_hop2_findings"] = probe2["diff_findings"].count()
+    timings["incremental_probe_hop2"] = round(time.perf_counter() - t0, 3)
+    extra["hop2_vs_full_ratio"] = round(
+        timings["incremental_probe_hop2"] / timings["pipeline_corpus"], 3
+    )
+    probe2["release"]()
+
     # drop the corpus sections' cached stages before the next section —
     # each run's CheckpointManager tracks its own persists (unpersist
     # hygiene; the old blanket clearCache workaround is gone)

