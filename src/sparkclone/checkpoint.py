@@ -182,6 +182,35 @@ class CheckpointManager:
         except Exception:  # noqa: BLE001 — unreadable prior checkpoint
             return None
 
+    def find_prior_stages(self, stages: list[str]) -> dict[str, DataFrame] | None:
+        """Like :meth:`find_prior_stage`, but all ``stages`` must come
+        from the SAME prior snapshot key (latest key, by the newest
+        _SUCCESS mtime among its stages, that completed every one) —
+        consistency matters when one stage is the validity manifest for
+        another (e.g. ``file_manifest`` keys ``snippets`` reuse)."""
+        if self.root is None or not stages:
+            return None
+        cfg_prefix = self.config_hash.split("-")[0]
+        keys: dict[str, dict[str, int]] = {}
+        for stage in stages:
+            for p, mtime in fs_glob_status(
+                self.spark, f"{self.root}/{cfg_prefix}-*/{stage}/_SUCCESS"
+            ):
+                key_dir = p[: -len(f"/{stage}/_SUCCESS")]
+                if key_dir.rstrip("/").endswith(f"/{self.config_hash}"):
+                    continue
+                keys.setdefault(key_dir, {})[stage] = mtime
+        complete = {
+            k: max(v.values()) for k, v in keys.items() if len(v) == len(stages)
+        }
+        if not complete:
+            return None
+        latest = max(complete, key=lambda k: complete[k])
+        try:
+            return {s: self.spark.read.parquet(f"{latest}/{s}") for s in stages}
+        except Exception:  # noqa: BLE001 — unreadable prior checkpoint
+            return None
+
     def has(self, stage: str) -> bool:
         d = self._stage_dir(stage)
         return d is not None and fs_exists(self.spark, f"{d}/_SUCCESS")

@@ -40,7 +40,9 @@ def diff_filter_findings(findings: DataFrame, changed: DataFrame) -> DataFrame:
     return hit_a.unionByName(hit_b).dropDuplicates(["unit_a", "unit_b"])
 
 
-PROBE_ARTIFACT_STAGES = ("snippets", "signatures", "call_facts", "call_edges")
+PROBE_ARTIFACT_STAGES = (
+    "snippets", "signatures", "call_facts", "call_edges", "file_manifest"
+)
 
 
 def persist_probe_artifacts(out: dict, key_dir: str) -> list[str]:
@@ -483,5 +485,11 @@ def incremental_scan_probe(
         "call_facts": facts,
         "call_edges": edges,
         "exp_affected_origins": affected_origins,
+        # per-file validity manifest of the NEW snapshot (persisted with
+        # the other probe artifacts so a later FULL scan can reuse this
+        # snapshot's snippets per-file — pipeline.py's manifest reuse)
+        "file_manifest": corpus_new.select(
+            F.concat_ws("/", "repo", "path").alias("path"), "content_sha256"
+        ),
         "release": _release,
     }

@@ -38,7 +38,7 @@ def test_resume_after_partial_run(spark, corpus_parquet, tmp_path):
 
     out2 = run_pipeline(spark, corpus, cfg, checkpoint_dir=ck)
     resumed = [m.stage for m in out2["metrics"].metrics if m.resumed]
-    assert resumed == ["snippets", "signatures"]
+    assert resumed == ["file_manifest", "snippets", "signatures"]
     assert _findings_key(out2) == key1
 
 
@@ -52,7 +52,7 @@ def test_metrics_lineage_recorded(spark, corpus_parquet, tmp_path):
     assert len(metrics_files) == 1
     payload = json.load(open(metrics_files[0]))
     stages = [m["stage"] for m in payload]
-    assert stages[:2] == ["snippets", "signatures"]
+    assert stages[:3] == ["file_manifest", "snippets", "signatures"]
     for m in payload:
         if not m["resumed"]:
             # per-partition lineage: partition_rows sums to stage rows
@@ -110,6 +110,32 @@ def test_per_snippet_signature_resume(spark, corpus_rows, tmp_path):
 
     # reuse must be invisible in the output: identical findings to a
     # from-scratch run of the full corpus
+    fresh = run_pipeline(spark, load_corpus(spark, full_pq), cfg)
+    assert _findings_key(out) == _findings_key(fresh)
+    fresh["metrics"].release()
+
+
+def test_per_file_snippet_resume(spark, corpus_rows, tmp_path):
+    """A prior snapshot's snippets stage is reused per-FILE on the next
+    snapshot (round-3 verdict missing #4): only changed/new files go
+    through the Python AST extraction kernel — validated by the
+    file_manifest content-hash join — and the output is identical to a
+    from-scratch run."""
+    from sparkclone.corpus import rows_to_parquet
+
+    sub_pq = str(tmp_path / "sub.parquet")
+    full_pq = str(tmp_path / "full.parquet")
+    rows_to_parquet(corpus_rows[: len(corpus_rows) - 10], sub_pq)
+    rows_to_parquet(corpus_rows, full_pq)
+    ck = str(tmp_path / "ck")
+    cfg = benchmark_config()
+
+    run_pipeline(spark, load_corpus(spark, sub_pq), cfg, checkpoint_dir=ck)
+    out = run_pipeline(spark, load_corpus(spark, full_pq), cfg, checkpoint_dir=ck)
+    notes = out["metrics"].notes
+    assert notes["snippet_files_reused"] == len(corpus_rows) - 10
+    assert notes["snippet_files_extracted"] == 10
+
     fresh = run_pipeline(spark, load_corpus(spark, full_pq), cfg)
     assert _findings_key(out) == _findings_key(fresh)
     fresh["metrics"].release()
