@@ -90,6 +90,44 @@ def connected_components(
             ru, rv = find(u), find(v)
             if ru != rv:
                 parent[rv] = ru
+
+        # One-fetch finish: pull the (unit_id, node) table via Arrow and
+        # assign labels + dense ids + roots entirely in the driver — the
+        # remaining work is a dict pass over the node list, and doing it
+        # here replaces three more job rounds (label broadcast join,
+        # roots fetch, dense-id join) with a single createDataFrame.
+        # Node count is NOT bounded by 2x edges (units appearing only in
+        # self-edge findings are singleton components), hence the capped
+        # fetch; past the cap fall through to the join-based finish.
+        if dense_ids:
+            node_cap = 2 * cfg.small_graph_edges
+            node_pdf = nodes.limit(node_cap + 1).toPandas()
+            if len(node_pdf) <= node_cap:
+                members = [
+                    (uid, find(int(node)))
+                    for uid, node in zip(
+                        node_pdf["unit_id"], node_pdf["node"].to_numpy()
+                    )
+                ]
+                root_of: dict[int, str] = {}
+                for uid, lab in members:
+                    prev = root_of.get(lab)
+                    # plain < on str == Spark's UTF8String ordering for
+                    # the ascii unit ids (and for valid UTF-8 generally:
+                    # byte order == code-point order)
+                    if prev is None or uid < prev:
+                        root_of[lab] = uid
+                cid = {
+                    lab: i + 1
+                    for i, lab in enumerate(
+                        sorted(root_of, key=lambda lb: root_of[lb])
+                    )
+                }
+                return spark.createDataFrame(
+                    [(uid, cid[lab], root_of[lab]) for uid, lab in members],
+                    "unit_id string, cluster_id int, cluster_root string",
+                )
+
         label_rows = [(n, find(n)) for n in parent]
         labels_df = spark.createDataFrame(label_rows, "node long, label long")
         # left join: nodes appearing only in self-edge findings keep
