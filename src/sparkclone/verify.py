@@ -116,6 +116,14 @@ def longest_common_substring_len(a: str, b: str) -> int:
     """
     if not a or not b:
         return 0
+    return _walk_automaton(_build_automaton(a), b)
+
+
+def _build_automaton(a: str):
+    """(maxlen, link, trans) suffix-automaton arrays for ``a`` — split
+    out so the batch kernel can amortize the build (the expensive half)
+    across every pair sharing a left text: clone graphs are star-shaped
+    around representatives, so the same side recurs many times."""
     # suffix automaton arrays; state 0 is the initial state
     maxlen = [0]
     link = [-1]
@@ -147,6 +155,11 @@ def longest_common_substring_len(a: str, b: str) -> int:
                 link[q] = clone
                 link[cur] = clone
         last = cur
+    return maxlen, link, trans
+
+
+def _walk_automaton(automaton, b: str) -> int:
+    maxlen, link, trans = automaton
     best = 0
     v, length = 0, 0
     for ch in b:
@@ -222,11 +235,25 @@ def with_lcs_evidence(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            batch = batch.copy()
-            batch["lcs_chars"] = [
-                longest_common_substring_len((ta or "")[:cap], (tb or "")[:cap])
-                for ta, tb in zip(batch["__text_a"], batch["__text_b"])
-            ]
+            # sort by the left text and rebuild the suffix automaton only
+            # when it changes: the automaton build is the expensive half
+            # of the LCS, and star-shaped clone groups repeat the same
+            # representative text across many pairs in a batch. Output
+            # order is irrelevant downstream (unordered relation).
+            batch = batch.sort_values("__text_a", kind="mergesort").copy()
+            lcs: list[int] = []
+            cached_text: str | None = None
+            cached_automaton = None
+            for ta, tb in zip(batch["__text_a"], batch["__text_b"]):
+                ta, tb = (ta or "")[:cap], (tb or "")[:cap]
+                if not ta or not tb:
+                    lcs.append(0)
+                    continue
+                if ta != cached_text:
+                    cached_text = ta
+                    cached_automaton = _build_automaton(ta)
+                lcs.append(_walk_automaton(cached_automaton, tb))
+            batch["lcs_chars"] = lcs
             yield batch[out_names]
 
     with_lcs = gated.mapInPandas(compute, schema=out_schema)
