@@ -231,6 +231,64 @@ def test_cli_diff_rolling_base_chaining(spark, corpus_rows_mod, tmp_path):
     assert pairs(p2) == pairs(f2) and pairs(p2)
 
 
+def test_cli_diff_probe_unchanged_corpus_no_refresh(spark, corpus_rows_mod, tmp_path):
+    """Probing an UNCHANGED corpus must not overwrite the artifacts being
+    read (same snapshot key -> refresh skipped) and reports zero diff
+    findings."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    pq_path = str(tmp_path / "v1.parquet")
+    rows_to_parquet(corpus_rows_mod, pq_path)
+    ck = str(tmp_path / "ck")
+    common = ["--repotype", "none", "--window-lines", "12",
+              "--config-root", str(tmp_path)]
+    assert main(["scan", "--corpus", pq_path, "--checkpoint-dir", ck,
+                 "--out", str(tmp_path / "b.json"), *common]) == 0
+    import pathlib
+
+    before = {p: p.stat().st_mtime_ns
+              for p in pathlib.Path(ck).rglob("_SUCCESS")}
+    assert main(["diff", "--corpus", pq_path, "--base-corpus", pq_path,
+                 "--base-artifacts", ck, "--out", str(tmp_path / "d.json"),
+                 *common]) == 0
+    payload = json.loads((tmp_path / "d.json").read_text())
+    assert payload["stats"]["diff_mode"] == "probe"
+    assert payload["stats"]["changed_file_count"] == 0
+    assert payload["stats"]["finding_count"] == 0
+    after = {p: p.stat().st_mtime_ns for p in pathlib.Path(ck).rglob("_SUCCESS")}
+    assert after == before, "probe overwrote its own base artifacts"
+
+
+def test_cli_diff_no_refresh_artifacts_flag(spark, corpus_rows_mod, tmp_path):
+    """--no-refresh-artifacts suppresses the rolling-base write: the next
+    hop finds no artifacts for its base and falls back to full rescan."""
+    from sparkclone.cli import main
+    from sparkclone.corpus import rows_to_parquet
+
+    v2_rows = corpus_rows_mod
+    v1_rows = [r for r in v2_rows if r.family != "exact"] + [
+        r for r in v2_rows if r.family == "exact"
+    ][1:]
+    v1_pq, v2_pq = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    rows_to_parquet(v1_rows, v1_pq)
+    rows_to_parquet(v2_rows, v2_pq)
+    ck = str(tmp_path / "ck")
+    common = ["--repotype", "none", "--window-lines", "12",
+              "--config-root", str(tmp_path)]
+    assert main(["scan", "--corpus", v1_pq, "--checkpoint-dir", ck,
+                 "--out", str(tmp_path / "b.json"), *common]) == 0
+    assert main(["diff", "--corpus", v2_pq, "--base-corpus", v1_pq,
+                 "--base-artifacts", ck, "--no-refresh-artifacts",
+                 "--out", str(tmp_path / "p.json"), *common]) == 0
+    assert json.loads((tmp_path / "p.json").read_text())["stats"]["diff_mode"] == "probe"
+    # no v2-keyed artifacts were written -> a v2-based diff must fall back
+    assert main(["diff", "--corpus", v2_pq, "--base-corpus", v2_pq,
+                 "--base-artifacts", ck, "--out", str(tmp_path / "q.json"),
+                 *common]) == 0
+    assert json.loads((tmp_path / "q.json").read_text())["stats"]["diff_mode"] == "full_rescan"
+
+
 def test_cli_diff_base_artifacts_missing_falls_back(spark, corpus_rows_mod, tmp_path):
     """A --base-artifacts dir without the needed stages must fall back to
     the full rescan, not crash."""
