@@ -46,6 +46,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        # Arrow transfer for every toPandas (hybrid-CC one-fetch finish,
+        # report rendering) — PySpark defaults this OFF, which silently
+        # turns those capped fetches into plain Row collects
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # G1 on a large heap anti-scales with task threads on this class
         # of VM (measured 3x slowdown at 16+ threads); the throughput
         # collector behaves linearly.

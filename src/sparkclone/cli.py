@@ -180,7 +180,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName(f"sparkclone-{args.command}").getOrCreate()
+    spark = (
+        SparkSession.builder.appName(f"sparkclone-{args.command}")
+        # Arrow for driver-side fetches (hybrid-CC finish, reporters);
+        # spark-submit confs still win — this is only the default
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     settings, include_globs, exclude_globs = _resolve_settings(args)
@@ -256,17 +262,27 @@ def main(argv: list[str] | None = None) -> int:
 
             key_dir = f"{args.base_artifacts}/{cfg.config_hash()}-{base_snap}"
             needed = ["snippets", "signatures"]
-            # EXP probe also needs the call graph — same condition under
-            # which run_pipeline writes it (enabled AND depth > 0; an
+            # EXP probe also needs the call facts — same condition under
+            # which run_pipeline writes them (enabled AND depth > 0; an
             # enabled+depth==0 config generates no EXP snippets and must
             # not be forced into a full rescan for a stage that never
-            # exists)
+            # exists). call_edges is OPTIONAL: the probe re-resolves the
+            # base graph from call_facts when it's absent (older artifact
+            # roots predate the call_edges stage), so its absence must
+            # only cost the one documented corpus-proportional re-resolve,
+            # never a full rescan.
             if cfg.expansion.enabled and cfg.expansion.depth > 0:
-                needed += ["call_facts", "call_edges"]
+                needed += ["call_facts"]
             if all(fs_exists(spark, f"{key_dir}/{s}/_SUCCESS") for s in needed):
                 base_stages = {
                     s: spark.read.parquet(f"{key_dir}/{s}") for s in needed
                 }
+                if "call_facts" in needed and fs_exists(
+                    spark, f"{key_dir}/call_edges/_SUCCESS"
+                ):
+                    base_stages["call_edges"] = spark.read.parquet(
+                        f"{key_dir}/call_edges"
+                    )
             else:
                 print(
                     f"base artifacts incomplete under {key_dir}; "

@@ -99,37 +99,49 @@ def connected_components(
         # Node count is NOT bounded by 2x edges (units appearing only in
         # self-edge findings are singleton components), hence the capped
         # fetch; past the cap fall through to the join-based finish.
+        # The cap is deliberately far below 2x small_graph_edges: the
+        # result upload is a driver-side createDataFrame, so the
+        # all-driver finish only pays off while the node table is
+        # hundreds-of-MB small; bigger graphs keep the distributed
+        # broadcast-join finish below.
         if dense_ids:
-            node_cap = 2 * cfg.small_graph_edges
+            node_cap = min(2 * cfg.small_graph_edges, 500_000)
             node_pdf = nodes.limit(node_cap + 1).toPandas()
             if len(node_pdf) <= node_cap:
-                members = [
-                    (uid, find(int(node)))
-                    for uid, node in zip(
-                        node_pdf["unit_id"], node_pdf["node"].to_numpy()
-                    )
-                ]
-                root_of: dict[int, str] = {}
-                for uid, lab in members:
-                    prev = root_of.get(lab)
-                    # plain < on str == Spark's UTF8String ordering for
-                    # the ascii unit ids (and for valid UTF-8 generally:
-                    # byte order == code-point order)
-                    if prev is None or uid < prev:
-                        root_of[lab] = uid
-                cid = {
-                    lab: i + 1
-                    for i, lab in enumerate(
-                        sorted(root_of, key=lambda lb: root_of[lb])
-                    )
-                }
+                import pandas as pd
+
+                labs = [int(find(int(n))) for n in node_pdf["node"].to_numpy()]
+                pdf = pd.DataFrame(
+                    {"unit_id": node_pdf["unit_id"], "label": labs}
+                )
+                # pandas str min == Spark's UTF8String ordering for the
+                # ascii unit ids (and for valid UTF-8 generally: byte
+                # order == code-point order)
+                root_of = pdf.groupby("label")["unit_id"].min()
+                order = root_of.sort_values(kind="mergesort")
+                cid = {lab: i + 1 for i, lab in enumerate(order.index)}
+                out_pdf = pd.DataFrame(
+                    {
+                        "unit_id": pdf["unit_id"],
+                        "cluster_id": pdf["label"].map(cid),
+                        "cluster_root": pdf["label"].map(root_of),
+                    }
+                )
+                # a pandas frame rides the Arrow upload path (the session
+                # builders enable spark.sql.execution.arrow.pyspark);
+                # tuple lists would be row-pickled
                 return spark.createDataFrame(
-                    [(uid, cid[lab], root_of[lab]) for uid, lab in members],
-                    "unit_id string, cluster_id int, cluster_root string",
+                    out_pdf, "unit_id string, cluster_id int, cluster_root string"
                 )
 
-        label_rows = [(n, find(n)) for n in parent]
-        labels_df = spark.createDataFrame(label_rows, "node long, label long")
+        import pandas as pd
+
+        labels_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"node": list(parent), "label": [find(n) for n in parent]}
+            ),
+            "node long, label long",
+        ) if parent else spark.createDataFrame([], "node long, label long")
         # left join: nodes appearing only in self-edge findings keep
         # themselves as label (singleton clusters — clustering.py:27-31
         # registers both endpoints of every finding)
@@ -155,15 +167,13 @@ def connected_components(
                 .toPandas()
             )
             if len(roots_pdf) <= cap:
-                roots_pdf = roots_pdf.sort_values("cluster_root", kind="mergesort")
-                dense_rows = [
-                    (int(label), i + 1, root)
-                    for i, (label, root) in enumerate(
-                        zip(roots_pdf["label"].to_numpy(), roots_pdf["cluster_root"])
-                    )
-                ]
+                roots_pdf = roots_pdf.sort_values(
+                    "cluster_root", kind="mergesort"
+                ).reset_index(drop=True)
+                roots_pdf["cluster_id"] = roots_pdf.index + 1
                 dense_df = spark.createDataFrame(
-                    dense_rows, "label long, cluster_id int, cluster_root string"
+                    roots_pdf[["label", "cluster_id", "cluster_root"]],
+                    "label long, cluster_id int, cluster_root string",
                 )
                 return membership.join(F.broadcast(dense_df), "label").select(
                     "unit_id", "cluster_id", "cluster_root"

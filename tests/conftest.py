@@ -27,6 +27,10 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.adaptive.enabled", "true")
+        # the hybrid-CC one-fetch finish and report rendering route
+        # through toPandas; without this conf PySpark falls back to the
+        # plain collect path (Row objects + pandas conversion)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

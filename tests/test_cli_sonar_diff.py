@@ -230,6 +230,15 @@ def test_cli_diff_rolling_base_chaining(spark, corpus_rows_mod, tmp_path):
     assert p2["stats"]["diff_mode"] == "probe", "hop 2 fell back — chaining broken"
     assert pairs(p2) == pairs(f2) and pairs(p2)
 
+    # a non-EXP probe must never persist a call_edges artifact (round-4
+    # verdict wrong #1: the findings edge list was shadowing the call
+    # graph and got written as a bogus call_edges stage on every hop)
+    import pathlib
+
+    assert not list(pathlib.Path(ck).glob("*/call_edges")), (
+        "non-EXP probe wrote a call_edges artifact"
+    )
+
 
 def test_cli_diff_probe_unchanged_corpus_no_refresh(spark, corpus_rows_mod, tmp_path):
     """Probing an UNCHANGED corpus must not overwrite the artifacts being
@@ -305,6 +314,77 @@ def test_cli_diff_base_artifacts_missing_falls_back(spark, corpus_rows_mod, tmp_
     ])
     assert rc == 0
     assert json.loads((tmp_path / "fb.json").read_text())["stats"]["diff_mode"] == "full_rescan"
+
+
+def test_cli_diff_rolling_base_chaining_with_expansion(spark, tmp_path):
+    """The EXP twin of test_cli_diff_rolling_base_chaining (round-4
+    verdict missing #1): v1 →(probe)→ v2 →(probe)→ v3 with call-expansion
+    ENABLED. Hop 1's refresh persists the probe's merged call_facts AND
+    call_edges (the merged call GRAPH — the round-4 shadowing bug wrote
+    the findings edge list here, so hop 2 crashed loading base_edges);
+    hop 2 must chain off them in probe mode and match the full rescan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclone.cli import main
+    from test_incremental_probe import _EXP_FILES
+
+    def write(files, path):
+        rows = sorted(files.items())
+        pq.write_table(
+            pa.table({
+                "repo": ["org0/exprepo"] * len(rows),
+                "path": [p for p, _ in rows],
+                "commit": ["0" * 40] * len(rows),
+                "lang": ["python"] * len(rows),
+                "content": [c for _, c in rows],
+            }),
+            path,
+        )
+
+    v1 = dict(_EXP_FILES)
+    v2 = dict(v1)
+    v2["app/caller_copy.py"] = v2["app/caller.py"]
+    v3 = dict(v2)
+    # hop 2's diff both edits a HELPER body (EXP text of the unchanged
+    # caller files must regenerate through the CHAINED call graph) and
+    # adds a second exact caller copy (so diff findings are nonempty)
+    v3["app/utilz.py"] = v3["app/utilz.py"].replace(
+        "out = out + it", "out = out + it + 0"
+    )
+    v3["app/caller_copy2.py"] = v3["app/caller.py"]
+    pqs = {}
+    for name, files in [("v1", v1), ("v2", v2), ("v3", v3)]:
+        pqs[name] = str(tmp_path / f"{name}.parquet")
+        write(files, pqs[name])
+    ck = str(tmp_path / "ck")
+    common = ["--repotype", "none", "--expand-calls", "--expand-depth", "1",
+              "--config-root", str(tmp_path)]
+
+    assert main(["scan", "--corpus", pqs["v1"], "--checkpoint-dir", ck,
+                 "--out", str(tmp_path / "base.json"), *common]) == 0
+
+    def run_diff(new, base, out, probe):
+        extra = ["--base-artifacts", ck] if probe else []
+        assert main(["diff", "--corpus", pqs[new], "--base-corpus", pqs[base],
+                     *extra, "--out", str(tmp_path / out), *common]) == 0
+        return json.loads((tmp_path / out).read_text())
+
+    def pairs(payload):
+        return {(f["unit_a"], f["unit_b"]) for f in payload["findings"]}
+
+    p1 = run_diff("v2", "v1", "p1.json", probe=True)
+    f1 = run_diff("v2", "v1", "f1.json", probe=False)
+    assert p1["stats"]["diff_mode"] == "probe"
+    assert pairs(p1) == pairs(f1) and pairs(p1)
+
+    p2 = run_diff("v3", "v2", "p2.json", probe=True)
+    f2 = run_diff("v3", "v2", "f2.json", probe=False)
+    assert p2["stats"]["diff_mode"] == "probe", "EXP hop 2 fell back — chaining broken"
+    assert pairs(p2) == pairs(f2) and pairs(p2)
+    # the helper edit must surface through EXP: some hop-2 finding pairs
+    # caller units (EXP-bearing) with the new copy
+    assert any("caller" in a and "caller_copy2" in b for a, b in pairs(f2))
 
 
 def test_cli_diff_probe_with_expansion(spark, tmp_path):

@@ -49,6 +49,7 @@ run () {
     --master "local[$cores]" \
     --conf spark.sql.shuffle.partitions=64 \
     --conf spark.sql.adaptive.enabled=true \
+    --conf spark.sql.execution.arrow.pyspark.enabled=true \
     --conf spark.driver.memory=48g \
     --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --conf spark.ui.enabled=false \
