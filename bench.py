@@ -118,11 +118,15 @@ def main() -> None:
     # corpus against them — hop cost must stay diff-proportional)
     import dataclasses
 
-    from sparkclone.incremental import persist_probe_artifacts
+    from sparkclone.incremental import load_probe_stages, persist_probe_artifacts
 
+    # base key dir = the checkpointed old-snapshot run's own key; the
+    # refresh is a DELTA commit against it (add frames + tombstones +
+    # _delta.json), so its cost scales with the diff, not the corpus
+    base_key = f"{tmp}/ck/{base['metrics'].config_hash}"
     chain_key = f"{tmp}/ck/chain-v2"
     t0 = time.perf_counter()
-    persist_probe_artifacts(probe, chain_key)
+    persist_probe_artifacts(probe, chain_key, spark=spark, base_key_dir=base_key)
     extra["artifact_refresh_sec"] = round(time.perf_counter() - t0, 3)
     v3_rows = [
         dataclasses.replace(r, content=r.content + "\n# rev3 touch\n")
@@ -138,10 +142,10 @@ def main() -> None:
     v3_path = f"{tmp}/corpus_v3.parquet"
     rows_to_parquet(v3_rows, v3_path)
     t0 = time.perf_counter()
+    chain_stages = load_probe_stages(spark, chain_key, ["snippets", "signatures"])
     probe2 = incremental_scan_probe(
         spark, load_corpus(spark, v3_path),
-        spark.read.parquet(f"{chain_key}/snippets"),
-        spark.read.parquet(f"{chain_key}/signatures"),
+        chain_stages["snippets"], chain_stages["signatures"],
         load_corpus(spark, corpus_path), benchmark_config(),
     )
     extra["incremental_hop2_findings"] = probe2["diff_findings"].count()
@@ -157,6 +161,14 @@ def main() -> None:
     out["metrics"].release()
     base["metrics"].release()
     probe["release"]()
+    # release() deliberately skips localCheckpoint blocks (they ARE the
+    # truncated lineage of still-referenced frames), so the probe/hop2
+    # sections leave their blocks pinned in storage memory for the rest
+    # of the suite — squeezing execution memory for clone_docs/srp (the
+    # round-4 regression signature). None of those frames is used below,
+    # so drop every pinned RDD before the downstream sections.
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):  # noqa: SLF001
+        jrdd.unpersist(True)
 
     # --- doc-level dedup pipeline over the sf documents table ------------
     # (the full pipeline query — same computation this bench key timed in

@@ -95,6 +95,20 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file (delta-commit logs, metrics sidecars)
+    through the FS API — works on any scheme the root can live on."""
+    fs = _hadoop_fs(spark, path)
+    stream = fs.open(_hadoop_path(spark, path))
+    try:
+        # commons-io ships with Hadoop; one JVM round-trip for the bytes
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(  # noqa: SLF001
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def corpus_fingerprint(corpus: DataFrame) -> str:
     """Cheap, deterministic input-snapshot id: sha256 of the sorted list
     of files backing the DataFrame (driver-side listing only). Empty for

@@ -258,7 +258,7 @@ def main(argv: list[str] | None = None) -> int:
                      *sorted(exclude_globs)]
                 ).encode("utf-8")
             ).hexdigest()[:12]
-            from sparkclone.checkpoint import fs_exists
+            from sparkclone.incremental import load_probe_stages
 
             key_dir = f"{args.base_artifacts}/{cfg.config_hash()}-{base_snap}"
             needed = ["snippets", "signatures"]
@@ -270,19 +270,17 @@ def main(argv: list[str] | None = None) -> int:
             # base graph from call_facts when it's absent (older artifact
             # roots predate the call_edges stage), so its absence must
             # only cost the one documented corpus-proportional re-resolve,
-            # never a full rescan.
+            # never a full rescan. load_probe_stages transparently
+            # resolves delta-commit chains written by earlier probe hops.
             if cfg.expansion.enabled and cfg.expansion.depth > 0:
                 needed += ["call_facts"]
-            if all(fs_exists(spark, f"{key_dir}/{s}/_SUCCESS") for s in needed):
-                base_stages = {
-                    s: spark.read.parquet(f"{key_dir}/{s}") for s in needed
-                }
-                if "call_facts" in needed and fs_exists(
-                    spark, f"{key_dir}/call_edges/_SUCCESS"
-                ):
-                    base_stages["call_edges"] = spark.read.parquet(
-                        f"{key_dir}/call_edges"
+            base_stages = load_probe_stages(spark, key_dir, needed)
+            if base_stages is not None:
+                base_stages.update(
+                    load_probe_stages(
+                        spark, key_dir, ["call_edges"], required=False
                     )
+                )
             else:
                 print(
                     f"base artifacts incomplete under {key_dir}; "
@@ -302,14 +300,25 @@ def main(argv: list[str] | None = None) -> int:
             # of drifting ever further from the original full scan. A
             # no-op when the corpus is unchanged (same key — never
             # overwrite the artifacts currently being read).
+            # The refresh is a DELTA commit (add frames + tombstone keys
+            # + _delta.json pointing at the base key) so its cost scales
+            # with the diff, not the corpus; every PROBE_MAX_CHAIN hops
+            # it compacts to a full rewrite to re-bound read-plan depth.
             new_key_dir = f"{args.base_artifacts}/{cfg.config_hash()}-{snapshot_id}"
             if args.refresh_artifacts and new_key_dir != key_dir:
-                from sparkclone.incremental import persist_probe_artifacts
+                from sparkclone.incremental import (
+                    _read_delta_log,
+                    persist_probe_artifacts,
+                )
 
-                refreshed = persist_probe_artifacts(out, new_key_dir)
+                refreshed = persist_probe_artifacts(
+                    out, new_key_dir, spark=spark, base_key_dir=key_dir
+                )
+                log = _read_delta_log(spark, new_key_dir)
+                mode = f"delta depth={log['depth']}" if log else "full (compacted)"
                 print(
-                    f"refreshed base artifacts ({', '.join(refreshed)}) under "
-                    f"{new_key_dir}",
+                    f"refreshed base artifacts ({', '.join(refreshed)}; {mode}) "
+                    f"under {new_key_dir}",
                     file=sys.stderr,
                 )
         else:
@@ -327,6 +336,15 @@ def main(argv: list[str] | None = None) -> int:
             "finding_count": findings.count(),
             "diff_mode": diff_mode,
         }
+        # diff-proportionality work counters (probe mode): files whose
+        # snippets were re-extracted vs loaded from the base artifacts,
+        # and (EXP) origins re-expanded vs kept verbatim — the numbers
+        # that show a daily diff paying O(diff), not O(corpus)
+        if diff_mode == "probe":
+            stats["files_extracted"] = stats["changed_file_count"]
+            stats["files_reused"] = stats["file_count"] - stats["changed_file_count"]
+            if out.get("exp_affected_origins") is not None:
+                stats["exp_origins_reexpanded"] = out["exp_affected_origins"].count()
     else:
         out = run_pipeline(
             spark, corpus, cfg, checkpoint_dir=checkpoint_dir, snapshot_id=snapshot_id

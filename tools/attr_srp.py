@@ -20,6 +20,9 @@ Modes:
               round-3 code (H2 check)
   afterload — run the bench suite's preceding sections' memory shape
               first (pipeline_corpus + probe + hop2), then srp 3x (H1)
+  afterload_dropped — afterload, but unpersist every pinned RDD
+              (localCheckpoint blocks included) before srp — validates
+              the bench.py hygiene fix: expected ≈ solo if H1 holds
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    if mode == "afterload":
+    if mode.startswith("afterload"):
         # reproduce the bench suite's pre-srp memory shape (corpus
         # pipeline + probe + hop2 + clone_docs would take minutes; the
         # candidate for leftover-resident blocks is the probe/hop2
@@ -96,6 +99,13 @@ def main() -> None:
         out["metrics"].release()
         base["metrics"].release()
         probe["release"]()
+        if mode == "afterload_dropped":
+            # the bench.py hygiene fix: localCheckpoint blocks survive
+            # release() by design; none of these frames is used again
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()  # noqa: SLF001
+            ):
+                jrdd.unpersist(True)
 
     walls = []
     for i in range(3):
