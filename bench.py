@@ -66,6 +66,32 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # Warm the Python/Arrow worker pool ONCE before any timing: spawning
+    # 32 workers (each importing numpy/pandas/pyarrow) costs ~6-8 s and
+    # would otherwise land on whichever query first touches a pandas UDF
+    # after an idle gap (measured: srp_ann first-run 13.8-15.6 s cold vs
+    # 7.7-8.5 s warmed — BENCH/raw_r05/attr_srp.jsonl). BASELINE.md's
+    # reference numbers are warm rates, so warm-pool timing is the
+    # apples-to-apples protocol; on a long-lived cluster the pool is a
+    # one-time cost.
+    ns: dict = {}
+    exec(  # noqa: S102 — fixed literal (future-annotations would stringify hints)
+        "import pandas as pd\n"
+        "from pyspark.sql.functions import pandas_udf\n"
+        "@pandas_udf('double')\n"
+        "def _warm(v: pd.Series) -> pd.Series:\n"
+        "    return v * 1.0\n",
+        ns,
+    )
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(cpus * 4)
+        .repartition(cpus)
+        .select(ns["_warm"](F.col("id").cast("double")))
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # --- headline: full pipeline on a synthesized corpus scaled to sf ----
     n_repos = max(20, int(4000 * sf))          # sf0.1 -> 400 repos
     files_per_repo = 10                        # ~sf0.1 -> ~4k files

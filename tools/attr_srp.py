@@ -23,6 +23,9 @@ Modes:
   afterload_dropped — afterload, but unpersist every pinned RDD
               (localCheckpoint blocks included) before srp — validates
               the bench.py hygiene fix: expected ≈ solo if H1 holds
+  warmudf   — run one trivial pandas-UDF job first, then srp 3x: if
+              run1 drops to steady state, the cold cost is Python/Arrow
+              worker-pool spin-up (H3), not the srp plan itself
 """
 
 from __future__ import annotations
@@ -106,6 +109,27 @@ def main() -> None:
                 spark.sparkContext._jsc.getPersistentRDDs().values()  # noqa: SLF001
             ):
                 jrdd.unpersist(True)
+
+    if mode == "warmudf":
+        from pyspark.sql import functions as F
+
+        # exec-scoped so `from __future__ import annotations` above does
+        # not stringify the type hints pandas_udf infers its type from
+        ns: dict = {}
+        exec(  # noqa: S102 — fixed literal, test tool only
+            "import pandas as pd\n"
+            "from pyspark.sql.functions import pandas_udf\n"
+            "@pandas_udf('double')\n"
+            "def _warm(v: pd.Series) -> pd.Series:\n"
+            "    return v * 1.0\n",
+            ns,
+        )
+        (
+            spark.range(cpus * 4)
+            .repartition(cpus)
+            .select(ns["_warm"](F.col("id").cast("double")))
+            .write.format("noop").mode("overwrite").save()
+        )
 
     walls = []
     for i in range(3):
