@@ -104,7 +104,17 @@ def load_probe_stages(
     """Load probe artifact stages from ``key_dir``, transparently
     resolving delta-commit chains (see :func:`persist_probe_artifacts`).
     With ``required``, returns None if ANY stage is unavailable;
-    otherwise returns whichever resolve (possibly {})."""
+    otherwise returns whichever resolve (possibly {}).
+
+    A stage that resolved THROUGH a delta chain is persist()ed (lazy,
+    MEMORY_AND_DISK): unlike a plain parquet stage — where each consumer
+    re-scan is cheap columnar I/O — re-executing the chain's anti-join +
+    union plan per consumer multiplies the resolution cost by the
+    probe's fan-out (measured 3x on the hop-2 bench). The first action
+    materializes the resolved state once; callers that keep the session
+    alive can ``unpersist()`` when done."""
+    from sparkclone.checkpoint import fs_exists
+
     out: dict = {}
     for stage in stages:
         df = _resolve_probe_stage(spark, key_dir, stage)
@@ -112,6 +122,8 @@ def load_probe_stages(
             if required:
                 return None
             continue
+        if not fs_exists(spark, f"{key_dir}/{stage}/_SUCCESS"):
+            df = df.persist()
         out[stage] = df
     return out
 
@@ -632,10 +644,13 @@ def incremental_scan_probe(
     # sig_new = the rows that DIFFER from the base signatures stage (the
     # affected groups' reps: cache hits re-admitted + fresh misses) —
     # checkpointed separately because it is also the signatures DELTA the
-    # rolling-base refresh persists (persist_probe_artifacts)
+    # rolling-base refresh persists (persist_probe_artifacts). eager=False:
+    # the signatures checkpoint's own materialization job right below
+    # computes it — an extra blocking job here would only add a
+    # coordination round
     sig_new = cached_sub.unionByName(
         with_signatures(misses, cfg.signature)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     signatures = keep_base_sigs.unionByName(sig_new).localCheckpoint(eager=True)
 
     # 3. probe: changed reps' band rows vs the full band table (band rows
