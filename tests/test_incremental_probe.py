@@ -345,6 +345,58 @@ def test_probe_delta_commit_roundtrip_and_proportionality(spark, tmp_path):
     probe["release"]()
 
 
+def test_probe_delta_commit_handles_deletions(spark, tmp_path):
+    """Delta-commit roundtrip when the hop DELETES files (the roundtrip
+    test above only adds): the path tombstone must drop every base row at
+    a deleted path, and the signatures tombstone must subsume deletions
+    (a rep whose group lost a member is in an affected token-set group —
+    the identity the persist docstring claims). Resolution through
+    load_probe_stages must stay row-identical to the probe's merged
+    frames and carry no deleted path."""
+    from sparkclone.incremental import load_probe_stages, persist_probe_artifacts
+
+    rows = generate_corpus_rows()
+    deleted = {"pkg/exact_1.py", "pkg/near_90.py"}
+    new_rows = [r for r in rows if r.path not in deleted]
+    new_pq, old_pq = str(tmp_path / "new.parquet"), str(tmp_path / "old.parquet")
+    rows_to_parquet(new_rows, new_pq)
+    rows_to_parquet(rows, old_pq)
+    cfg = benchmark_config()
+    corpus_new, corpus_old = load_corpus(spark, new_pq), load_corpus(spark, old_pq)
+    ck = str(tmp_path / "ck")
+    base = run_pipeline(spark, corpus_old, cfg, checkpoint_dir=ck)
+    base["findings"].count()
+
+    probe = incremental_scan_probe(
+        spark, corpus_new, base["snippets"], base["signatures"], corpus_old, cfg
+    )
+    base_key = f"{ck}/{base['metrics'].config_hash}"
+    v2_key = f"{ck}/chain-v2"
+    persist_probe_artifacts(probe, v2_key, spark=spark, base_key_dir=base_key)
+    assert (tmp_path / "ck" / "chain-v2" / "_delta.json").exists()
+
+    loaded = load_probe_stages(spark, v2_key, ["snippets", "signatures"])
+
+    def rowset(df, *cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    snip_cols = ("snippet_id", "tokenset_hash", "kind", "path")
+    assert rowset(loaded["snippets"], *snip_cols) == rowset(
+        probe["snippets"], *snip_cols
+    )
+    sig_cols = ("snippet_id", "tokenset_hash", "path")
+    assert rowset(loaded["signatures"], *sig_cols) == rowset(
+        probe["signatures"], *sig_cols
+    )
+    for stage in ("snippets", "signatures"):
+        live = {r["path"] for r in loaded[stage].select("path").distinct().collect()}
+        assert not any(p.endswith(d) for d in deleted for p in live), (
+            f"deleted path survived delta resolution in {stage}"
+        )
+    probe["release"]()
+    base["metrics"].release()
+
+
 def test_probe_base_manifest_mismatch_raises(spark, tmp_path):
     """Round-4 verdict missing #3: a library caller passing base
     artifacts that were NOT computed from corpus_old must get a loud
