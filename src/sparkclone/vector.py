@@ -30,6 +30,72 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def pair_dot_udf():
+    """Vectorized pair dot product as an Arrow-batched pandas UDF —
+    the hot scoring kernel for candidate pairs.
+
+    Why not the pure-column :func:`dot`: ``F.aggregate(zip_with(...))``
+    runs on Catalyst's interpreted higher-order-function path — per-element
+    lambda dispatch that never enters whole-stage codegen, and whose
+    interpreter call sites degrade to megamorphic (2-4x slower) in a
+    long-lived JVM that has executed many unrelated expression trees
+    (measured: srp's pair-scoring stage 5.2 s in a fresh JVM vs 18.3 s
+    after the bench suite's pipeline sections). An unrolled fixed-dim
+    column sum was tried and lost too (9.6 s — 128 per-element accessor
+    calls in generated code). One numpy batch kernel scores the same
+    1.3 M pairs in 1.4-2.7 s and is immune to JVM interpreter-state decay
+    (interleaved A/B in BENCH/raw_r05/attr_srp.jsonl suite_shape lines).
+
+    Arithmetic is BIT-IDENTICAL to :func:`dot`: float32 multiply first
+    (numpy f4*f4 is the same IEEE op as Spark's float Multiply), exact
+    f4->f8 widening, then a left-associated sequential float64
+    accumulation (explicit per-dimension loop — numpy's pairwise ``sum``
+    would associate differently), so rounded cosines, tie-ranks, and
+    oracle hashes are unchanged. Null or ragged vectors yield NULL,
+    matching ``aggregate``'s null propagation on zip_with padding.
+    """
+
+    @F.pandas_udf("double")
+    def dot_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for qv, cv in it:
+            n = len(qv)
+            if n == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            qa = qv.to_numpy()
+            ca = cv.to_numpy()
+            lens = {len(v) for v in qa if v is not None} | {
+                len(v) for v in ca if v is not None
+            }
+            if any(v is None for v in qa) or any(v is None for v in ca) or len(lens) > 1:
+                # slow path: per-row, preserving aggregate()'s null
+                # semantics exactly (null array or length mismatch -> NULL)
+                out = []
+                for a, b in zip(qa, ca):
+                    if a is None or b is None or len(a) != len(b):
+                        out.append(None)
+                        continue
+                    p = (
+                        np.asarray(a, dtype=np.float32)
+                        * np.asarray(b, dtype=np.float32)
+                    ).astype(np.float64)
+                    s = 0.0
+                    for x in p:
+                        s += x
+                    out.append(s)
+                yield pd.Series(out, dtype="float64")
+                continue
+            a = np.stack(qa).astype(np.float32, copy=False)
+            b = np.stack(ca).astype(np.float32, copy=False)
+            p = (a * b).astype(np.float64)
+            s = np.zeros(n, dtype=np.float64)
+            for j in range(p.shape[1]):
+                s += p[:, j]
+            yield pd.Series(s)
+
+    return dot_udf
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
@@ -213,12 +279,36 @@ def srp_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates()
     )
-    qv = base.select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
-    cv = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"))
+    # scoring: norms are a PER-ID quantity — compute them on the slim
+    # per-side frames (N rows, broadcast side) instead of per candidate
+    # pair (the pair count is orders of magnitude larger), and take the
+    # pair dot product in one Arrow-batched numpy kernel (pair_dot_udf
+    # docstring has the measured interpreted-HOF cliff). The zero-denom
+    # guard and HALF_UP round stay JVM-side; the arithmetic is
+    # bit-identical to cosine(), so ranks, rounded values, and oracle
+    # hashes are unchanged (pytest-gated in test_vector_ann).
+    qv = base.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        l2_norm(F.col("v")).alias("__qn"),
+    )
+    cv = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        l2_norm(F.col("v")).alias("__cn"),
+    )
+    pair_dot = pair_dot_udf()(F.col("__qv"), F.col("__cv"))
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         cand.join(qv, "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(pair_dot / denom),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -91,3 +91,42 @@ def test_srp_explicit_dim_matches_inferred(spark, embeddings):
     explicit = srp_topk(embeddings, **SRP_PARAMS).collect()
     inferred = srp_topk(embeddings, **{**SRP_PARAMS, "dim": None}).collect()
     assert sorted(map(tuple, explicit)) == sorted(map(tuple, inferred))
+
+
+def test_pair_dot_udf_bit_identical_to_hof_cosine(spark, embeddings):
+    """The numpy scoring kernel (pair_dot_udf + per-side norms, JVM-side
+    guard/round) must produce BIT-identical rounded cosines to the
+    interpreted-HOF cosine() on every pair — same float32 multiply, same
+    left-associated float64 accumulation — so srp_topk's rewrite cannot
+    move a 5th-decimal rounding or a tie-rank."""
+    from pyspark.sql import functions as F
+
+    from sparkclone.vector import cosine, l2_norm, pair_dot_udf
+
+    a = embeddings.limit(80).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    b = embeddings.limit(80).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    pairs = a.crossJoin(b)
+    denom = F.col("qn") * F.col("nn")
+    mismatches = (
+        pairs.withColumn("hof", F.round(cosine(F.col("qv"), F.col("nv")), 5))
+        .withColumn(
+            "fast",
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    pair_dot_udf()(F.col("qv"), F.col("nv")) / denom
+                ),
+                5,
+            ),
+        )
+        .where(F.expr("NOT (hof <=> fast)"))
+        .count()
+    )
+    assert mismatches == 0
