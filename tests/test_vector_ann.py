@@ -130,3 +130,32 @@ def test_pair_dot_udf_bit_identical_to_hof_cosine(spark, embeddings):
         .count()
     )
     assert mismatches == 0
+
+
+def test_pair_dot_udf_null_and_ragged_semantics(spark):
+    """The kernel's slow path must mirror aggregate(zip_with(...))'s null
+    propagation: a NULL vector on either side, or a length mismatch
+    (zip_with pads the shorter side with NULL), yields a NULL dot."""
+    from pyspark.sql import functions as F
+
+    from sparkclone.vector import dot, pair_dot_udf
+
+    rows = [
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (None, [1.0, 1.0, 1.0]),
+        ([1.0, 1.0, 1.0], None),
+        ([1.0, 2.0], [3.0, 4.0, 5.0]),  # ragged
+        ([], []),
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = (
+        df.withColumn("fast", pair_dot_udf()(F.col("a"), F.col("b")))
+        .withColumn("hof", dot(F.col("a"), F.col("b")))
+        .select("fast", "hof")
+        .collect()
+    )
+    for r in got:
+        if r["hof"] is None:
+            assert r["fast"] is None
+        else:
+            assert r["fast"] == r["hof"]
