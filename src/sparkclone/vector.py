@@ -120,15 +120,37 @@ def brute_force_topk(
     Deterministic ranking: (rounded cosine desc, neighbor id asc) — ties
     at equal rounded similarity break on id, mirroring the reference's
     stable argsort (index/brute_index.py:43-45).
+
+    Scoring uses the same decomposition as :func:`srp_topk`: norms are a
+    per-id quantity computed once on each side frame (Q + N rows, not
+    Q*N), and the pair dot runs in the Arrow-batched numpy kernel
+    (:func:`pair_dot_udf` — bit-identical to the HOF :func:`dot`, immune
+    to the interpreted-HOF megamorphic cliff). Rounded cosines and ranks
+    are unchanged vs the naive per-pair :func:`cosine`.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    pair_dot_udf()(F.col("__qv"), F.col("__cv")) / denom
+                ),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
