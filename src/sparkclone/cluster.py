@@ -39,6 +39,30 @@ def connected_components(
     ~10^8 finding endpoints, and any collision only ever merges clusters,
     never splits).
     """
+    # FAST PATH (one-cascade CC): fetch the distinct (src, dst) STRING
+    # pairs — self-pairs included, they carry otherwise-singleton nodes —
+    # in ONE capped Arrow action and run the reference's path-compressed
+    # union-find over the strings directly. This replaces the int64
+    # route's separate cascades (hashed-edge dedupe + capped edge fetch +
+    # capped node-table fetch) with one aggregation + one fetch + one
+    # createDataFrame upload, and skips the xxhash64 relabeling
+    # round-trip entirely (guide §2.4: remove whole passes). Strings are
+    # heavier per row than int64 pairs, so the cap is lower (250k pairs,
+    # tens of MB in Arrow); graphs above it fall through to the int64
+    # route unchanged (which keeps its own small_graph_edges bound), and
+    # small_graph_edges=0 — the distributed-loop force — bypasses both
+    # driver routes.
+    if cfg.small_graph_edges > 0:
+        cap_pairs = min(cfg.small_graph_edges, 250_000)
+        pairs_pdf = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .dropDuplicates()
+            .limit(cap_pairs + 1)
+            .toPandas()
+        )
+        if len(pairs_pdf) <= cap_pairs:
+            return _driver_cc_strings(edges.sparkSession, pairs_pdf, dense_ids)
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -210,6 +234,61 @@ def connected_components(
 
     membership = nodes.join(labels, "node").select("unit_id", F.col("label"))
     return _densify(membership, dense_ids)
+
+
+def _driver_cc_strings(spark, pairs_pdf, dense_ids: bool) -> DataFrame:
+    """All-driver CC over a fetched distinct (a, b) string-pair frame:
+    path-compressed union-find (the reference's own algorithm,
+    clustering.py:8-43) + dense-id / root assignment, uploaded back in
+    one Arrow createDataFrame. Self-pairs register their node and merge
+    nothing. cluster_id is 1..K ordered by each component's minimum
+    member identity (identical to the int64 route's dense ids); with
+    dense_ids=False the same ordering is used as the long-typed label —
+    labels are per-component-arbitrary by contract (consumers only group
+    by them), and the int64 route's xxhash-derived labels were equally
+    arbitrary."""
+    import pandas as pd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return parent.get(x, x)
+
+    nodes: set[str] = set()
+    for a, b in zip(pairs_pdf["a"], pairs_pdf["b"]):
+        nodes.add(a)
+        nodes.add(b)
+        if a == b:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    node_list = sorted(nodes)
+    pdf = pd.DataFrame(
+        {"unit_id": node_list, "label": [find(n) for n in node_list]}
+    )
+    # pandas str min == Spark's UTF8String ordering for valid UTF-8
+    # (byte order == code-point order)
+    root_of = pdf.groupby("label")["unit_id"].min() if len(pdf) else pd.Series(dtype=object)
+    order = root_of.sort_values(kind="mergesort")
+    cid = {lab: i + 1 for i, lab in enumerate(order.index)}
+    out = pd.DataFrame(
+        {
+            "unit_id": pdf["unit_id"],
+            "cluster_id": pdf["label"].map(cid),
+            "cluster_root": pdf["label"].map(root_of),
+        }
+    )
+    id_type = "int" if dense_ids else "long"
+    return spark.createDataFrame(
+        out, f"unit_id string, cluster_id {id_type}, cluster_root string"
+    )
 
 
 def _densify(membership: DataFrame, dense_ids: bool) -> DataFrame:

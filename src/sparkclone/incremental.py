@@ -331,7 +331,7 @@ def incremental_scan_probe(
     from sparkclone.rollup import rollup_findings
     from sparkclone.runtime import ensure_shipped
     from sparkclone.signatures import with_signatures
-    from sparkclone.verify import attach_sides, verify_pairs, with_lcs_evidence
+    from sparkclone.verify import verify_candidates, with_lcs_evidence
 
     ensure_shipped(spark)
     cfg = cfg or PipelineConfig()
@@ -377,7 +377,16 @@ def incremental_scan_probe(
     # uncut logical plan re-embeds the whole upstream tree per branch
     # until Catalyst spends minutes optimizing a ~MB plan (measured:
     # 105 s to verify 3 rows). Truncating lineage keeps planning O(stages).
-    changed = changed_files(corpus_new, corpus_old).localCheckpoint(eager=True)
+    # eager=False on the non-EXP frames (r6 optimization): a lazy
+    # localCheckpoint truncates the plan just the same, but materializes
+    # inside the first consuming job instead of as its own blocking
+    # driver round — the probe build used to serialize ~7 tiny jobs
+    # (one per eager checkpoint) before candidate generation even
+    # started; now they all land in the diff_findings cascade and
+    # overlap across the cluster. The EXP frames keep eager=True: the
+    # reverse-BFS loop reads isEmpty() per hop (an action anyway) and
+    # its frontier frames feed driver control flow.
+    changed = changed_files(corpus_new, corpus_old).localCheckpoint(eager=False)
     changed_fp = changed.select(F.col("fpath").alias("__chfp"))
     new_paths = corpus_new.select(F.concat_ws("/", "repo", "path").alias("fpath"))
     old_paths = corpus_old.select(F.concat_ws("/", "repo", "path").alias("fpath"))
@@ -388,7 +397,7 @@ def incremental_scan_probe(
         .unionByName(changed.select("fpath"))
         .dropDuplicates()
         .select(F.col("fpath").alias("__gonefp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # 1. extract ONLY changed files; everything else stays parquet-side.
@@ -401,7 +410,7 @@ def incremental_scan_probe(
     ).repartition(spark.sparkContext.defaultParallelism)
     new_snips = tokenize_snippets(
         extract_snippets(changed_corpus, cfg.windows, normalize=cfg.normalize_text), cfg
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # 1b. EXP: re-extract call facts for changed files only, re-resolve
     # edges only for callers the diff can affect, re-expand only affected
@@ -609,7 +618,7 @@ def incremental_scan_probe(
     )
     if exp_extra_affected is not None:
         affected = affected.unionByName(exp_extra_affected)
-    affected = affected.dropDuplicates().localCheckpoint(eager=True)
+    affected = affected.dropDuplicates().localCheckpoint(eager=False)
     if exp_all is not None:
         # base EXP rows: kept verbatim for unaffected origins, replaced
         # by the re-expanded subset otherwise (both inside exp_all)
@@ -623,9 +632,10 @@ def incremental_scan_probe(
         )
         all_snips = kept_base.unionByName(new_snips)
     aff_snips = all_snips.join(F.broadcast(affected), "tokenset_hash", "left_semi")
-    reps_sub, star_edges = collapse_exact(aff_snips)
-    reps_sub = reps_sub.localCheckpoint(eager=True)
-    star_edges = star_edges.localCheckpoint(eager=True)
+    aux: list = []
+    reps_sub, star_edges = collapse_exact(aff_snips, aux_registry=aux)
+    reps_sub = reps_sub.localCheckpoint(eager=False)
+    star_edges = star_edges.localCheckpoint(eager=False)
 
     # per-snippet signature cache for the affected reps (content-addressed
     # left-anti reuse — the reference's embedding-cache analogue); the
@@ -651,7 +661,7 @@ def incremental_scan_probe(
     sig_new = cached_sub.unionByName(
         with_signatures(misses, cfg.signature)
     ).localCheckpoint(eager=False)
-    signatures = keep_base_sigs.unionByName(sig_new).localCheckpoint(eager=True)
+    signatures = keep_base_sigs.unionByName(sig_new).localCheckpoint(eager=False)
 
     # 3. probe: changed reps' band rows vs the full band table (band rows
     # of the unaffected side are produced by a narrow explode and
@@ -660,11 +670,10 @@ def incremental_scan_probe(
     changed_rep_ids = reps_sub.join(
         F.broadcast(changed_fp), reps_sub["path"] == F.col("__chfp"), "left_semi"
     ).select(F.col("snippet_id").alias("id"))
-    pairs = probe_candidate_pairs(bt_all, changed_rep_ids, cfg.lsh)
+    pairs = probe_candidate_pairs(bt_all, changed_rep_ids, cfg.lsh, aux_registry=aux)
 
-    aux: list = []
     verified = with_lcs_evidence(
-        verify_pairs(attach_sides(pairs, signatures), cfg), cfg, all_snips,
+        verify_candidates(pairs, signatures, cfg), cfg, all_snips,
         aux_registry=aux,
     )
     from sparkclone.pipeline import _EDGE_COLS

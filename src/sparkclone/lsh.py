@@ -138,7 +138,10 @@ def _pairs_salted(bt: DataFrame, n_salt: int = _N_SALT) -> DataFrame:
 
 
 def probe_candidate_pairs(
-    bt_all: DataFrame, probe_ids: DataFrame, cfg: LshConfig
+    bt_all: DataFrame,
+    probe_ids: DataFrame,
+    cfg: LshConfig,
+    aux_registry: list | None = None,
 ) -> DataFrame:
     """Asymmetric pair generation for incremental scans: only the
     CHANGED side's buckets participate, so no full-corpus shuffle exists
@@ -165,7 +168,16 @@ def probe_candidate_pairs(
         "left_semi",
     )
     probe_buckets = probe_bands.select("band_id", "band_hash").dropDuplicates()
-    cand_rows = bt_all.join(F.broadcast(probe_buckets), ["band_id", "band_hash"], "left_semi")
+    # cand_rows is consumed three times (bucket-size count, the probe
+    # side's semi-join, and the full right side of the pair join) and each
+    # consumer would otherwise re-run the band explode + broadcast bucket
+    # filter over the whole corpus' band table; persist the filtered frame
+    # once — it is probe-proportional (candidate-bucket members only).
+    cand_rows = bt_all.join(
+        F.broadcast(probe_buckets), ["band_id", "band_hash"], "left_semi"
+    ).persist()
+    if aux_registry is not None:
+        aux_registry.append(cand_rows)
     cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
     sizes = (
         cand_rows.groupBy("band_id", "band_hash")
@@ -220,7 +232,15 @@ def candidate_pairs(
     if aux_registry is not None:
         aux_registry.append(sizes)
     cap = cfg.max_bucket_size if cfg.max_bucket_size > 0 else (1 << 62)
-    routed = bt.join(sizes, ["band_id", "band_hash"])  # drops singleton buckets
+    # routed is persisted: the pair generation reads it FOUR times (both
+    # sides of the plain self-join + both sides of the salted join), and
+    # without the cache each branch re-ran the band explode AND the
+    # bucket-size join (measured: candidate_pairs stage 19.4 s at sf0.1,
+    # the explode+join recompute being most of it). The cached frame is
+    # slim — (id, unit_key, spans, band key, bsize), no arrays/text.
+    routed = bt.join(sizes, ["band_id", "band_hash"]).persist()  # drops singleton buckets
+    if aux_registry is not None:
+        aux_registry.append(routed)
     small = routed.where(F.col("bsize") <= _SALT_THRESHOLD).drop("bsize")
     big = routed.where((F.col("bsize") > _SALT_THRESHOLD) & (F.col("bsize") <= cap)).drop("bsize")
 

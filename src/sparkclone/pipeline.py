@@ -24,15 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from sparkclone.checkpoint import CheckpointManager
 from sparkclone.config import PipelineConfig
 from sparkclone.extract import extract_snippets
 from sparkclone.lsh import candidate_pairs
 from sparkclone.normalize import tokens_col
 from sparkclone.signatures import token_hashes_col, with_signatures
-from sparkclone.verify import attach_sides, verify_pairs, with_lcs_evidence
+from sparkclone.verify import verify_candidates, with_lcs_evidence
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
@@ -75,7 +73,9 @@ def tokenize_snippets(snippets: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def collapse_exact(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
+def collapse_exact(
+    tokenized: DataFrame, aux_registry: list | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Exact-duplicate pre-collapse (SURVEY.md §4 mitigation (c)).
 
     Collapse key is the *distinct token set*, not the raw text: two
@@ -103,37 +103,55 @@ def collapse_exact(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
         keyed = keyed.withColumn(
             "tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens")))
         )
-    w = Window.partitionBy("tokenset_hash")
-    with_rep = keyed.withColumn("rep_id", F.min("snippet_id").over(w))
-    reps = with_rep.where(F.col("snippet_id") == F.col("rep_id")).drop("rep_id")
-
-    members = with_rep.where(F.col("snippet_id") != F.col("rep_id"))
+    # Rep assignment via one slim aggregation + join-back instead of a
+    # window (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles
+    # outright"). The old window form shuffled AND sorted the full
+    # snippet rows (norm_text included) on tokenset_hash, and star_edges
+    # then re-ran that wide exchange once per side of a rep⋈member
+    # self-join — three full-width exchanges total. Now:
+    #   * min_by pulls the rep's snippet_id AND its star-edge side
+    #     metadata into the aggregate in one pass, so the rep row never
+    #     needs to be joined back for star edges at all;
+    #   * the aggregate ships ~200 B/group with map-side partial
+    #     aggregation; the single join back is hash-based (AQE broadcasts
+    #     rep_map when it fits, shuffled-hash/sort-merge at corpus scale —
+    #     never worse than the window's own full-width exchange);
+    #   * star_edges becomes a narrow projection of that join output —
+    #     the rep⋈member self-join is GONE.
+    # rep_map is persisted: reps' lineage and star_edges both consume it.
     side_cols = [
         "unit_id", "path", "unit_start", "unit_end", "kind",
         "start_line", "end_line",
     ]
-    rep_side = reps.select(
-        F.col("tokenset_hash"),
-        F.col("snippet_id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in side_cols],
-        F.col("text_hash").alias("__rep_text_hash"),
+    rep_struct = F.struct(
+        F.col("snippet_id"),
+        *[F.col(c) for c in side_cols],
+        F.col("text_hash"),
         F.length("norm_text").alias("__text_len"),
     )
-    member_side = members.select(
-        F.col("tokenset_hash"),
+    rep_map = keyed.groupBy("tokenset_hash").agg(
+        F.min_by(rep_struct, F.col("snippet_id")).alias("__rep")
+    ).persist()
+    if aux_registry is not None:
+        aux_registry.append(rep_map)
+    with_rep = keyed.join(rep_map, "tokenset_hash")
+    # restore the caller's column order (the key-join moved tokenset_hash
+    # first); checkpointed stage schemas stay byte-stable across rounds
+    reps = with_rep.where(
+        F.col("snippet_id") == F.col("__rep.snippet_id")
+    ).select(*keyed.columns)
+
+    members = with_rep.where(F.col("snippet_id") != F.col("__rep.snippet_id"))
+    star_edges = members.select(
+        F.col("__rep.snippet_id").alias("id_a"),
         F.col("snippet_id").alias("id_b"),
+        *[F.col(f"__rep.{c}").alias(f"{c}_a") for c in side_cols],
         *[F.col(c).alias(f"{c}_b") for c in side_cols],
-        F.col("text_hash").alias("__member_text_hash"),
-    )
-    star_edges = rep_side.join(member_side, "tokenset_hash").select(
-        "id_a", "id_b",
-        *[f"{c}_a" for c in side_cols],
-        *[f"{c}_b" for c in side_cols],
         F.lit(1.0).alias("jaccard"),
         F.lit(0).alias("hamming"),
         F.when(
-            F.col("__rep_text_hash") == F.col("__member_text_hash"),
-            F.col("__text_len").cast("int"),
+            F.col("__rep.text_hash") == F.col("text_hash"),
+            F.col("__rep.__text_len").cast("int"),
         ).alias("lcs_chars"),
         F.lit(True).alias("near_verbatim"),
     )
@@ -298,7 +316,7 @@ def run_pipeline(
         return tok if reuse is None else reuse.unionByName(tok)
 
     snippets = ck.load_or_compute("snippets", _snippets)
-    reps, star_edges = collapse_exact(snippets)
+    reps, star_edges = collapse_exact(snippets, aux_registry=ck.aux)
 
     # signatures drop the normalized text: every downstream consumer
     # (band table, verification sides) works on hashes/metadata, and the
@@ -360,7 +378,7 @@ def run_pipeline(
     bucket_stats = ck.load_or_compute("bucket_stats", lambda: _pairs_and_stats()[1])
 
     def _verified() -> DataFrame:
-        v = verify_pairs(attach_sides(pairs, signatures), cfg)
+        v = verify_candidates(pairs, signatures, cfg)
         v = with_lcs_evidence(v, cfg, snippets, aux_registry=ck.aux)
         return v.select(*_EDGE_COLS)
 

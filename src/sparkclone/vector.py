@@ -289,10 +289,16 @@ def srp_topk(
     # O(1) in n_planes*dim — see _srp_buckets_udf), then posexplode
     # qualifies the bucket key with the table index so tables don't
     # cross-match
+    # persist: the bucket table feeds BOTH sides of the candidate
+    # self-join, and without the cache each side re-runs the scan + the
+    # bucketing UDF over every vector (the before-plan showed two
+    # ArrowEvalPython nodes for one logical bucketing pass — the §4.4
+    # duplicate-evaluation shape, here caused by self-join fan-out).
+    # The frame is slim — (id, table, bucket) int64s, ~24 B/row/table.
     tb = base.select(
         "id",
         F.posexplode(_srp_buckets_udf(planes)(F.col("v"))).alias("table", "bucket"),
-    )
+    ).persist()
     left = tb.select("table", "bucket", F.col("id").alias("query_id"))
     right = tb.select("table", "bucket", F.col("id").alias("neighbor_id"))
     cand = (

@@ -98,6 +98,71 @@ def verify_pairs(pairs_with_sides: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).drop("token_hashes_a", "token_hashes_b")
 
 
+def verify_candidates(
+    pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Score-then-attach verification — row-for-row equivalent to
+    ``verify_pairs(attach_sides(pairs, signatures), cfg)`` but with the
+    join payloads split by volume (guide §2.3 "project before the
+    exchange"):
+
+      1. the candidate-volume joins carry ONLY the scoring columns
+         (kind, token_hashes, simhash) per side — the unit_id/path strings
+         and span ints ride along for nothing in the attach-first form,
+         since the threshold filter discards the overwhelming majority of
+         candidates;
+      2. unit/path/span metadata is attached to the verified SURVIVORS
+         only (orders of magnitude fewer rows; AQE broadcasts the survivor
+         side), reading the persisted signatures stage a second time —
+         a cache scan, not a recompute;
+      3. the overlap/containment filter commutes with the score filter
+         (conjunctive predicates over disjoint column sets), so running it
+         after attachment keeps the survivor set identical.
+    """
+    from sparkclone.rollup import filter_overlapping
+
+    th = cfg.thresholds
+
+    def _score_side(suffix: str) -> DataFrame:
+        return signatures.select(
+            F.col("snippet_id").alias(f"id_{suffix}"),
+            F.col("kind").alias(f"kind_{suffix}"),
+            F.col("token_hashes").alias(f"token_hashes_{suffix}"),
+            F.col("simhash").alias(f"simhash_{suffix}"),
+        )
+
+    scored = (
+        pairs.join(_score_side("a"), "id_a")
+        .join(_score_side("b"), "id_b")
+        .withColumn(
+            "jaccard", jaccard_col(F.col("token_hashes_a"), F.col("token_hashes_b"))
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .withColumn(
+            "kind_threshold", threshold_col(F.col("kind_a"), F.col("kind_b"), th)
+        )
+        .where(
+            (F.col("jaccard") >= F.lit(th.lexical_min_ratio))
+            & (F.col("jaccard") >= F.col("kind_threshold"))
+        )
+        .drop("token_hashes_a", "token_hashes_b")
+    )
+
+    meta = ["unit_id", "path", "unit_start", "unit_end", "start_line", "end_line"]
+
+    def _meta_side(suffix: str) -> DataFrame:
+        return signatures.select(
+            F.col("snippet_id").alias(f"id_{suffix}"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in meta],
+        )
+
+    attached = scored.join(_meta_side("a"), "id_a").join(_meta_side("b"), "id_b")
+    return filter_overlapping(attached)
+
+
 # ---------------------------------------------------------------------------
 # Longest common substring via suffix automaton (linear build over text_a,
 # linear scan of text_b). Python kernel batched over Arrow; applied only to
