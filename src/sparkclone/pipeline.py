@@ -103,45 +103,56 @@ def collapse_exact(
         keyed = keyed.withColumn(
             "tokenset_hash", F.xxhash64(F.concat_ws(" ", F.col("tokens")))
         )
-    # Rep assignment via one slim aggregation + join-back instead of a
-    # window (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles
-    # outright"). The old window form shuffled AND sorted the full
-    # snippet rows (norm_text included) on tokenset_hash, and star_edges
-    # then re-ran that wide exchange once per side of a rep⋈member
-    # self-join — three full-width exchanges total. Now:
+    # Rep assignment via one slim aggregation + slim join-back instead of
+    # a window (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles
+    # outright" / §8 "decide with small rows, move big rows once"). The
+    # old window form shuffled AND sorted the full snippet rows
+    # (norm_text + token_hashes included) on tokenset_hash, and
+    # star_edges then re-ran that wide exchange once per side of a
+    # rep⋈member self-join — three full-width exchanges total. Now:
     #   * min_by pulls the rep's snippet_id AND its star-edge side
-    #     metadata into the aggregate in one pass, so the rep row never
-    #     needs to be joined back for star edges at all;
-    #   * the aggregate ships ~200 B/group with map-side partial
-    #     aggregation; the single join back is hash-based (AQE broadcasts
-    #     rep_map when it fits, shuffled-hash/sort-merge at corpus scale —
-    #     never worse than the window's own full-width exchange);
-    #   * star_edges becomes a narrow projection of that join output —
-    #     the rep⋈member self-join is GONE.
-    # rep_map is persisted: reps' lineage and star_edges both consume it.
+    #     metadata into the aggregate in one pass (~200 B/group with
+    #     map-side partial aggregation);
+    #   * star_edges is built ENTIRELY from a slim projection (ids, side
+    #     metadata, text_hash, text length — no norm_text / token_hashes /
+    #     sketch arrays), so the heavy columns never enter any collapse
+    #     exchange;
+    #   * reps attach by key: a semi-join of the wide frame against the
+    #     one-column rep-id set. AQE broadcasts rep_ids when it fits (no
+    #     wide exchange at all); at corpus scale it degrades to ONE wide
+    #     exchange — never worse than the previous single wide join, and
+    #     the wide rows move zero times in the common case.
+    # rep_map is persisted: reps' id set and star_edges both consume it.
     side_cols = [
         "unit_id", "path", "unit_start", "unit_end", "kind",
         "start_line", "end_line",
     ]
+    slim = keyed.select(
+        "tokenset_hash", "snippet_id", *side_cols, "text_hash",
+        F.length("norm_text").alias("__text_len"),
+    )
     rep_struct = F.struct(
         F.col("snippet_id"),
         *[F.col(c) for c in side_cols],
         F.col("text_hash"),
-        F.length("norm_text").alias("__text_len"),
+        F.col("__text_len"),
     )
-    rep_map = keyed.groupBy("tokenset_hash").agg(
+    rep_map = slim.groupBy("tokenset_hash").agg(
         F.min_by(rep_struct, F.col("snippet_id")).alias("__rep")
     ).persist()
     if aux_registry is not None:
         aux_registry.append(rep_map)
-    with_rep = keyed.join(rep_map, "tokenset_hash")
-    # restore the caller's column order (the key-join moved tokenset_hash
-    # first); checkpointed stage schemas stay byte-stable across rounds
-    reps = with_rep.where(
-        F.col("snippet_id") == F.col("__rep.snippet_id")
-    ).select(*keyed.columns)
+    # snippet_id is content-addressed and globally unique (sha256 over
+    # path/span/code recipes), so the semi-join keeps exactly the rows
+    # picked as group minima. Column order restored explicitly: the
+    # key-join moves snippet_id first and checkpointed stage schemas must
+    # stay byte-stable across rounds.
+    rep_ids = rep_map.select(F.col("__rep.snippet_id").alias("snippet_id"))
+    reps = keyed.join(rep_ids, "snippet_id", "left_semi").select(*keyed.columns)
 
-    members = with_rep.where(F.col("snippet_id") != F.col("__rep.snippet_id"))
+    members = slim.join(rep_map, "tokenset_hash").where(
+        F.col("snippet_id") != F.col("__rep.snippet_id")
+    )
     star_edges = members.select(
         F.col("__rep.snippet_id").alias("id_a"),
         F.col("snippet_id").alias("id_b"),

@@ -167,8 +167,19 @@ def rollup_findings(edges: DataFrame, th: Thresholds) -> DataFrame:
     """Full rollup: filters -> dedupe -> unit-pair aggregation with the
     reasons gate. Input: canonical-orientation snippet-match edges with
     side metadata + jaccard (+ optional lcs_chars / near_verbatim /
-    hamming)."""
-    deduped = dedupe_span_pairs(filter_overlapping(canonicalize_orientation(edges)))
+    hamming).
+
+    One exchange, not two (guide §2.4 "two operations keyed the same way
+    can share one exchange"): the span-pair dedupe window clusters on the
+    6-column span-pair key and the findings aggregation on the unit pair —
+    a PREFIX of that key. Repartitioning once on (unit_id_a, unit_id_b)
+    satisfies both required distributions (HashPartitioning on a subset of
+    the clustering keys co-locates every refinement), so the window runs
+    with a local sort only and the groupBy skips its exchange entirely."""
+    filtered = filter_overlapping(canonicalize_orientation(edges)).repartition(
+        "unit_id_a", "unit_id_b"
+    )
+    deduped = dedupe_span_pairs(filtered)
 
     has_func = (F.col("kind_a") == "FUNC") | (F.col("kind_b") == "FUNC")
     has_win = (F.col("kind_a") == "WIN") | (F.col("kind_b") == "WIN")
