@@ -169,17 +169,19 @@ def rollup_findings(edges: DataFrame, th: Thresholds) -> DataFrame:
     side metadata + jaccard (+ optional lcs_chars / near_verbatim /
     hamming).
 
-    One exchange, not two (guide §2.4 "two operations keyed the same way
-    can share one exchange"): the span-pair dedupe window clusters on the
-    6-column span-pair key and the findings aggregation on the unit pair —
-    a PREFIX of that key. Repartitioning once on (unit_id_a, unit_id_b)
-    satisfies both required distributions (HashPartitioning on a subset of
-    the clustering keys co-locates every refinement), so the window runs
-    with a local sort only and the groupBy skips its exchange entirely."""
-    filtered = filter_overlapping(canonicalize_orientation(edges)).repartition(
-        "unit_id_a", "unit_id_b"
-    )
-    deduped = dedupe_span_pairs(filtered)
+    Exchange-sharing note (measured, rejected — the r6 optimization pass):
+    repartitioning once on (unit_id_a, unit_id_b) — a prefix of the
+    span-pair dedupe window's clustering key — DOES collapse the window
+    exchange + groupBy exchange into one (guide §2.4; verified in the
+    physical plan, WindowGroupLimit included), but a fresh-session
+    interleaved A/B on the 400-repo bench corpus measured the repartition
+    form at **8.5-9.8 s of driver-side plan/analysis time vs 1.8-2.6 s**
+    for this two-exchange form, against only ~1 s of executor savings at
+    bench row volumes (1.3k edges). Same planning-cost mechanism as the
+    min_by dedupe revert below: optimizer passes over the canonicalize
+    CASE WHEN trees dominate. Do not re-attempt without re-measuring the
+    plan-build wall at the target scale."""
+    deduped = dedupe_span_pairs(filter_overlapping(canonicalize_orientation(edges)))
 
     has_func = (F.col("kind_a") == "FUNC") | (F.col("kind_b") == "FUNC")
     has_win = (F.col("kind_a") == "WIN") | (F.col("kind_b") == "WIN")
