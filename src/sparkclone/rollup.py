@@ -40,7 +40,17 @@ _SWAP_COLS = [
 
 def canonicalize_orientation(edges: DataFrame) -> DataFrame:
     """Ensure unit_id_a <= unit_id_b (ties: snippet span order) by swapping
-    side columns where needed."""
+    side columns where needed.
+
+    ONE select, not a withColumn loop: every DataFrame transformation
+    triggers a full analyzer pass over the accumulated plan, so the old
+    per-column withColumn+drop+rename chain (~24 calls for 8 swap pairs)
+    paid quadratic driver-side analysis on an already-deep pipeline plan —
+    and rollup runs once per pipeline, four times per bench suite. The
+    single projection computes identical expressions in one pass; only the
+    (semantically irrelevant) intermediate column order changes — swapped
+    columns stay at their original positions instead of migrating to the
+    tail."""
     flip = (F.col("unit_id_a") > F.col("unit_id_b")) | (
         (F.col("unit_id_a") == F.col("unit_id_b"))
         & (
@@ -48,19 +58,14 @@ def canonicalize_orientation(edges: DataFrame) -> DataFrame:
             > F.struct("start_line_b", "end_line_b")
         )
     )
-    out = edges
+    swap: dict[str, Column] = {}
     for c in _SWAP_COLS:
         a, b = f"{c}_a", f"{c}_b"
         if a not in edges.columns:
             continue
-        out = (
-            out.withColumn(f"__{a}", F.when(flip, F.col(b)).otherwise(F.col(a)))
-            .withColumn(f"__{b}", F.when(flip, F.col(a)).otherwise(F.col(b)))
-            .drop(a, b)
-            .withColumnRenamed(f"__{a}", a)
-            .withColumnRenamed(f"__{b}", b)
-        )
-    return out
+        swap[a] = F.when(flip, F.col(b)).otherwise(F.col(a)).alias(a)
+        swap[b] = F.when(flip, F.col(a)).otherwise(F.col(b)).alias(b)
+    return edges.select(*[swap.get(c, F.col(c)) for c in edges.columns])
 
 
 def kind_rank_col(kind_a: Column, kind_b: Column) -> Column:
